@@ -1,0 +1,518 @@
+"""Typed simulation parameters, parsed from .prm decks.
+
+TPU-native equivalent of the reference's ``Parameters::*`` structs in
+``source/core/parameters.cc`` and the aggregate
+``NavierStokesSolverParameters`` (SURVEY.md §2.1, §2.2).  Section and key
+names follow the reference's deck schema verbatim so reference decks run
+unmodified; each dataclass provides ``parse(deck)`` (the analogue of
+``parse_parameters``) and carries the reference defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum
+
+from .prm import ParameterDeck, parse_prm_file
+from .expressions import VectorExpression
+
+
+# --------------------------------------------------------------------------
+# enums
+# --------------------------------------------------------------------------
+
+class TimeSteppingMethod(str, Enum):
+    steady = "steady"
+    bdf1 = "bdf1"
+    bdf2 = "bdf2"
+    bdf3 = "bdf3"
+    sdirk2 = "sdirk2"
+    sdirk3 = "sdirk3"
+
+    @property
+    def is_steady(self) -> bool:
+        return self is TimeSteppingMethod.steady
+
+    @property
+    def bdf_order(self) -> int:
+        return {"bdf1": 1, "bdf2": 2, "bdf3": 3}.get(self.value, 0)
+
+    @property
+    def is_sdirk(self) -> bool:
+        return self.value.startswith("sdirk")
+
+
+class Verbosity(str, Enum):
+    quiet = "quiet"
+    verbose = "verbose"
+
+
+# --------------------------------------------------------------------------
+# parameter blocks (one dataclass per reference Parameters:: struct)
+# --------------------------------------------------------------------------
+
+@dataclass
+class SimulationControlParams:
+    """subsection 'simulation control'."""
+    method: TimeSteppingMethod = TimeSteppingMethod.steady
+    dt: float = 1.0
+    time_end: float = 1.0
+    adapt: bool = False                   # CFL-driven dt adaptation
+    max_cfl: float = 1.0
+    adaptative_time_step_scaling: float = 1.1
+    startup_timestep_scaling: float = 0.4  # BDF startup sub-step scaling
+    number_mesh_adaptation: int = 0        # steady AMR cycles
+    output_name: str = "out"
+    output_path: str = "./"
+    output_frequency: int = 1
+    subdivision: int = 1
+    group_files: int = 1
+    log_precision: int = 6
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("simulation control")
+        self.method = TimeSteppingMethod(d.get_str("method", self.method.value))
+        self.dt = d.get_double("time step", self.dt)
+        self.time_end = d.get_double("time end", self.time_end)
+        self.adapt = d.get_bool("adapt", self.adapt)
+        self.max_cfl = d.get_double("max cfl", self.max_cfl)
+        self.adaptative_time_step_scaling = d.get_double(
+            "adaptative time step scaling", self.adaptative_time_step_scaling)
+        self.startup_timestep_scaling = d.get_double(
+            "startup time scaling", self.startup_timestep_scaling)
+        self.number_mesh_adaptation = d.get_int(
+            "number mesh adapt", self.number_mesh_adaptation)
+        self.output_name = d.get_str("output name", self.output_name)
+        self.output_path = d.get_str("output path", self.output_path)
+        self.output_frequency = d.get_int("output frequency", self.output_frequency)
+        self.subdivision = d.get_int("subdivision", self.subdivision)
+        self.group_files = d.get_int("group files", self.group_files)
+        self.log_precision = d.get_int("log precision", self.log_precision)
+
+
+@dataclass
+class PhysicalPropertiesParams:
+    """subsection 'physical properties'."""
+    kinematic_viscosity: float = 1.0
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("physical properties")
+        self.kinematic_viscosity = d.get_double(
+            "kinematic viscosity", self.kinematic_viscosity)
+
+
+@dataclass
+class FEMParams:
+    """subsection 'FEM'."""
+    velocity_order: int = 1
+    pressure_order: int = 1
+    quadrature_points: int = 0   # 0 -> velocity_order + 1
+    qmapping_all: bool = False   # curved mapping on all cells (vs boundary)
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("FEM")
+        self.velocity_order = d.get_int("velocity order", self.velocity_order)
+        self.pressure_order = d.get_int("pressure order", self.pressure_order)
+        self.quadrature_points = d.get_int("quadrature points", self.quadrature_points)
+        self.qmapping_all = d.get_bool("qmapping all", self.qmapping_all)
+
+    @property
+    def n_quadrature_points_1d(self) -> int:
+        return self.quadrature_points if self.quadrature_points > 0 \
+            else self.velocity_order + 1
+
+
+@dataclass
+class MeshParams:
+    """subsection 'mesh'."""
+    type: str = "dealii"          # 'dealii' (generator) or 'gmsh'
+    file_name: str = ""
+    grid_type: str = "hyper_cube"
+    grid_arguments: str = "0 : 1 : false"
+    initial_refinement: int = 0
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("mesh")
+        self.type = d.get_str("type", self.type)
+        self.file_name = d.get_str("file name", self.file_name)
+        self.grid_type = d.get_str("grid type", self.grid_type)
+        self.grid_arguments = d.get_str("grid arguments", self.grid_arguments)
+        self.initial_refinement = d.get_int("initial refinement", self.initial_refinement)
+
+
+@dataclass
+class MeshAdaptationParams:
+    """subsection 'mesh adaptation'."""
+    type: str = "none"            # none | uniform | kelly
+    variable: str = "velocity"    # velocity | pressure
+    fraction_type: str = "number"  # number | fraction
+    max_number_elements: int = 100000000
+    max_refinement_level: int = 10
+    min_refinement_level: int = 0
+    frequency: int = 1
+    fraction_refinement: float = 0.1
+    fraction_coarsening: float = 0.05
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("mesh adaptation")
+        self.type = d.get_str("type", self.type)
+        self.variable = d.get_str("variable", self.variable)
+        self.fraction_type = d.get_str("fraction type", self.fraction_type)
+        self.max_number_elements = d.get_int("max number elements", self.max_number_elements)
+        self.max_refinement_level = d.get_int("max refinement level", self.max_refinement_level)
+        self.min_refinement_level = d.get_int("min refinement level", self.min_refinement_level)
+        self.frequency = d.get_int("frequency", self.frequency)
+        self.fraction_refinement = d.get_double("fraction refinement", self.fraction_refinement)
+        self.fraction_coarsening = d.get_double("fraction coarsening", self.fraction_coarsening)
+
+
+@dataclass
+class NonLinearSolverParams:
+    """subsection 'non-linear solver'."""
+    verbosity: Verbosity = Verbosity.verbose
+    solver: str = "newton"       # newton | skip_newton
+    tolerance: float = 1e-6
+    max_iterations: int = 10
+    skip_iterations: int = 1
+    max_line_search_halvings: int = 4
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("non-linear solver")
+        self.verbosity = Verbosity(d.get_str("verbosity", self.verbosity.value))
+        self.solver = d.get_str("solver", self.solver)
+        self.tolerance = d.get_double("tolerance", self.tolerance)
+        self.max_iterations = d.get_int("max iterations", self.max_iterations)
+        self.skip_iterations = d.get_int("skip iterations", self.skip_iterations)
+
+
+@dataclass
+class LinearSolverParams:
+    """subsection 'linear solver'."""
+    verbosity: Verbosity = Verbosity.verbose
+    method: str = "gmres"        # gmres | bicgstab | amg
+    max_iters: int = 1000
+    relative_residual: float = 1e-3
+    minimum_residual: float = 1e-8
+    max_krylov_vectors: int = 100
+    # ILU-era knobs (kept for deck compatibility; map onto the TPU
+    # preconditioners: fill<=0 -> node-block Jacobi, fill>=1 -> element
+    # additive-Schwarz blocks)
+    ilu_fill: float = 0.0
+    ilu_atol: float = 1e-8
+    ilu_rtol: float = 1.0
+    amg_aggregation_threshold: float = 1e-14
+    amg_n_cycles: int = 1
+    amg_w_cycles: bool = False
+    amg_smoother_sweeps: int = 2
+    amg_smoother_overlap: int = 1
+    preconditioner: str = "auto"  # auto | jacobi | block_jacobi | additive_schwarz
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("linear solver")
+        self.verbosity = Verbosity(d.get_str("verbosity", self.verbosity.value))
+        self.method = d.get_str("method", self.method)
+        self.max_iters = d.get_int("max iters", self.max_iters)
+        self.relative_residual = d.get_double("relative residual", self.relative_residual)
+        self.minimum_residual = d.get_double("minimum residual", self.minimum_residual)
+        self.max_krylov_vectors = d.get_int("max krylov vectors", self.max_krylov_vectors)
+        self.ilu_fill = d.get_double("ilu preconditioner fill", self.ilu_fill)
+        self.ilu_atol = d.get_double("ilu preconditioner absolute tolerance", self.ilu_atol)
+        self.ilu_rtol = d.get_double("ilu preconditioner relative tolerance", self.ilu_rtol)
+        self.amg_aggregation_threshold = d.get_double(
+            "amg aggregation threshold", self.amg_aggregation_threshold)
+        self.amg_n_cycles = d.get_int("amg n cycles", self.amg_n_cycles)
+        self.amg_w_cycles = d.get_bool("amg w cycles", self.amg_w_cycles)
+        self.amg_smoother_sweeps = d.get_int("amg smoother sweeps", self.amg_smoother_sweeps)
+        self.amg_smoother_overlap = d.get_int("amg smoother overlap", self.amg_smoother_overlap)
+        self.preconditioner = d.get_str("preconditioner", self.preconditioner)
+
+    def resolved_preconditioner(self) -> str:
+        if self.preconditioner != "auto":
+            return self.preconditioner
+        return "additive_schwarz" if self.ilu_fill >= 1 else "block_jacobi"
+
+
+class BoundaryType(str, Enum):
+    noslip = "noslip"
+    slip = "slip"
+    function = "function"
+    periodic = "periodic"
+    outlet = "outlet"   # natural/do-nothing
+
+
+@dataclass
+class BoundaryCondition:
+    id: int = 0
+    type: BoundaryType = BoundaryType.noslip
+    u: str = "0"
+    v: str = "0"
+    w: str = "0"
+    periodic_id: int = 0
+    periodic_direction: int = 0
+
+
+@dataclass
+class BoundaryConditionsParams:
+    """subsection 'boundary conditions' with nested 'bc i' blocks."""
+    bcs: list[BoundaryCondition] = field(default_factory=list)
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("boundary conditions")
+        n = d.get_int("number", 0)
+        self.bcs = []
+        for i in range(n):
+            sub = d.sub(f"bc {i}")
+            bc = BoundaryCondition()
+            bc.id = sub.get_int("id", i)
+            bc.type = BoundaryType(sub.get_str("type", "noslip"))
+            for comp in ("u", "v", "w"):
+                fsub = sub.sub(comp)
+                expr = fsub.get_str("Function expression", "0")
+                setattr(bc, comp, expr)
+            bc.periodic_id = sub.get_int("periodic_id", 0)
+            bc.periodic_direction = sub.get_int("periodic_direction", 0)
+            self.bcs.append(bc)
+
+
+@dataclass
+class InitialConditionsParams:
+    """subsection 'initial conditions'."""
+    type: str = "nodal"        # none | nodal | L2projection | viscous
+    viscosity: float = 1.0     # for the 'viscous' pre-solve
+    uvwp: str = "0; 0; 0; 0"
+
+    def parse(self, deck: ParameterDeck, dim: int) -> None:
+        d = deck.sub("initial conditions")
+        self.type = d.get_str("type", self.type)
+        self.viscosity = d.get_double("viscosity", self.viscosity)
+        sub = d.sub("uvwp")
+        default = "; ".join(["0"] * (dim + 1))
+        self.uvwp = sub.get_str("Function expression", default)
+
+
+@dataclass
+class SourceTermParams:
+    """subsection 'source term'."""
+    enable: bool = False
+    xyz: str = "0; 0; 0; 0"
+
+    def parse(self, deck: ParameterDeck, dim: int) -> None:
+        d = deck.sub("source term")
+        self.enable = d.get_bool("enable", self.enable)
+        sub = d.sub("xyz")
+        default = "; ".join(["0"] * (dim + 1))
+        self.xyz = sub.get_str("Function expression", default)
+
+
+@dataclass
+class AnalyticalSolutionParams:
+    """subsection 'analytical solution'."""
+    enable: bool = False
+    verbosity: Verbosity = Verbosity.verbose
+    filename: str = "L2Error"
+    uvwp: str = "0; 0; 0; 0"
+
+    def parse(self, deck: ParameterDeck, dim: int) -> None:
+        d = deck.sub("analytical solution")
+        self.enable = d.get_bool("enable", self.enable)
+        self.verbosity = Verbosity(d.get_str("verbosity", self.verbosity.value))
+        self.filename = d.get_str("filename", self.filename)
+        sub = d.sub("uvwp")
+        default = "; ".join(["0"] * (dim + 1))
+        self.uvwp = sub.get_str("Function expression", default)
+
+
+@dataclass
+class ForcesParams:
+    """subsection 'forces'."""
+    verbosity: Verbosity = Verbosity.quiet
+    calculate_forces: bool = False
+    calculate_torques: bool = False
+    force_output_name: str = "force"
+    torque_output_name: str = "torque"
+    output_precision: int = 10
+    calculation_frequency: int = 1
+    output_frequency: int = 1
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("forces")
+        self.verbosity = Verbosity(d.get_str("verbosity", self.verbosity.value))
+        self.calculate_forces = d.get_bool("calculate forces", self.calculate_forces)
+        self.calculate_torques = d.get_bool("calculate torques", self.calculate_torques)
+        self.force_output_name = d.get_str("force name", self.force_output_name)
+        self.torque_output_name = d.get_str("torque name", self.torque_output_name)
+        self.output_precision = d.get_int("output precision", self.output_precision)
+        self.calculation_frequency = d.get_int(
+            "calculation frequency", self.calculation_frequency)
+        self.output_frequency = d.get_int("output frequency", self.output_frequency)
+
+
+@dataclass
+class PostProcessingParams:
+    """subsection 'post-processing'."""
+    verbosity: Verbosity = Verbosity.quiet
+    calculate_kinetic_energy: bool = False
+    calculate_enstrophy: bool = False
+    kinetic_energy_name: str = "kinetic_energy"
+    enstrophy_name: str = "enstrophy"
+    calculation_frequency: int = 1
+    output_frequency: int = 1
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("post-processing")
+        self.verbosity = Verbosity(d.get_str("verbosity", self.verbosity.value))
+        self.calculate_kinetic_energy = d.get_bool(
+            "calculate kinetic energy", self.calculate_kinetic_energy)
+        self.calculate_enstrophy = d.get_bool(
+            "calculate enstrophy", self.calculate_enstrophy)
+        self.kinetic_energy_name = d.get_str(
+            "kinetic energy name", self.kinetic_energy_name)
+        self.enstrophy_name = d.get_str("enstrophy name", self.enstrophy_name)
+        self.calculation_frequency = d.get_int(
+            "calculation frequency", self.calculation_frequency)
+        self.output_frequency = d.get_int("output frequency", self.output_frequency)
+
+
+@dataclass
+class RestartParams:
+    """subsection 'restart'."""
+    checkpoint: bool = False
+    restart: bool = False
+    filename: str = "restart"
+    frequency: int = 1
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("restart")
+        self.checkpoint = d.get_bool("checkpoint", self.checkpoint)
+        self.restart = d.get_bool("restart", self.restart)
+        self.filename = d.get_str("filename", self.filename)
+        self.frequency = d.get_int("frequency", self.frequency)
+
+
+@dataclass
+class TimerParams:
+    """subsection 'timer'."""
+    type: str = "none"   # none | iteration | end
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("timer")
+        self.type = d.get_str("type", self.type)
+
+
+@dataclass
+class ManifoldDef:
+    id: int = 0
+    type: str = "spherical"
+    arg: str = ""        # center coordinates "cx, cy[, cz]"
+
+
+@dataclass
+class ManifoldsParams:
+    """subsection 'manifolds'."""
+    manifolds: list[ManifoldDef] = field(default_factory=list)
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("manifolds")
+        n = d.get_int("number", 0)
+        self.manifolds = []
+        for i in range(n):
+            sub = d.sub(f"manifold {i}")
+            m = ManifoldDef()
+            m.id = sub.get_int("id", i)
+            m.type = sub.get_str("type", "spherical")
+            m.arg = sub.get_str("arg", "")
+            self.manifolds.append(m)
+
+
+@dataclass
+class TestParams:
+    """subsection 'test' — trims output for golden-file comparison."""
+    enable: bool = False
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("test")
+        self.enable = d.get_bool("enable", self.enable)
+
+
+@dataclass
+class StabilizationParams:
+    """subsection 'stabilization' (extension; reference hardwires GLS).
+
+    Controls which stabilization terms enter the GLS weak form; defaults
+    reproduce the reference's assembleGLS behavior (SUPG+PSPG+viscous
+    adjoint, no LSIC).
+    """
+    supg: bool = True
+    pspg: bool = True
+    gls_viscous_adjoint: bool = True
+    lsic: bool = False
+    frozen_tau_jacobian: bool = False  # full-Newton by default (jvp-exact)
+
+    def parse(self, deck: ParameterDeck) -> None:
+        d = deck.sub("stabilization")
+        self.supg = d.get_bool("supg", self.supg)
+        self.pspg = d.get_bool("pspg", self.pspg)
+        self.gls_viscous_adjoint = d.get_bool("gls viscous adjoint",
+                                              self.gls_viscous_adjoint)
+        self.lsic = d.get_bool("lsic", self.lsic)
+
+
+# --------------------------------------------------------------------------
+# aggregate (the reference's NavierStokesSolverParameters<dim>)
+# --------------------------------------------------------------------------
+
+@dataclass
+class SimulationParameters:
+    """All parameter blocks for one run (NavierStokesSolverParameters)."""
+    dim: int = 2
+    simulation_control: SimulationControlParams = field(default_factory=SimulationControlParams)
+    physical_properties: PhysicalPropertiesParams = field(default_factory=PhysicalPropertiesParams)
+    fem: FEMParams = field(default_factory=FEMParams)
+    mesh: MeshParams = field(default_factory=MeshParams)
+    mesh_adaptation: MeshAdaptationParams = field(default_factory=MeshAdaptationParams)
+    nonlinear_solver: NonLinearSolverParams = field(default_factory=NonLinearSolverParams)
+    linear_solver: LinearSolverParams = field(default_factory=LinearSolverParams)
+    boundary_conditions: BoundaryConditionsParams = field(default_factory=BoundaryConditionsParams)
+    initial_conditions: InitialConditionsParams = field(default_factory=InitialConditionsParams)
+    source_term: SourceTermParams = field(default_factory=SourceTermParams)
+    analytical_solution: AnalyticalSolutionParams = field(default_factory=AnalyticalSolutionParams)
+    forces: ForcesParams = field(default_factory=ForcesParams)
+    post_processing: PostProcessingParams = field(default_factory=PostProcessingParams)
+    restart: RestartParams = field(default_factory=RestartParams)
+    timer: TimerParams = field(default_factory=TimerParams)
+    manifolds: ManifoldsParams = field(default_factory=ManifoldsParams)
+    test: TestParams = field(default_factory=TestParams)
+    stabilization: StabilizationParams = field(default_factory=StabilizationParams)
+
+    def parse(self, deck: ParameterDeck) -> "SimulationParameters":
+        self.simulation_control.parse(deck)
+        self.physical_properties.parse(deck)
+        self.fem.parse(deck)
+        self.mesh.parse(deck)
+        self.mesh_adaptation.parse(deck)
+        self.nonlinear_solver.parse(deck)
+        self.linear_solver.parse(deck)
+        self.boundary_conditions.parse(deck)
+        self.initial_conditions.parse(deck, self.dim)
+        self.source_term.parse(deck, self.dim)
+        self.analytical_solution.parse(deck, self.dim)
+        self.forces.parse(deck)
+        self.post_processing.parse(deck)
+        self.restart.parse(deck)
+        self.timer.parse(deck)
+        self.manifolds.parse(deck)
+        self.test.parse(deck)
+        self.stabilization.parse(deck)
+        return self
+
+    @classmethod
+    def from_file(cls, path: str, dim: int) -> "SimulationParameters":
+        p = cls(dim=dim)
+        return p.parse(parse_prm_file(path))
+
+    @classmethod
+    def from_text(cls, text: str, dim: int) -> "SimulationParameters":
+        from .prm import parse_prm
+        p = cls(dim=dim)
+        return p.parse(parse_prm(text))
