@@ -1,0 +1,414 @@
+"""Mesh generation and representation.
+
+Replaces the reference's use of deal.II ``GridGenerator`` / ``GridIn`` +
+``Manifold`` (SURVEY.md §2.1 'Manifolds', §2.2 ``read_mesh``).  Meshes are
+plain arrays: corner vertices + cell connectivity in lexicographic corner
+order (coordinate 0 fastest — identical to the tensor-product basis node
+ordering), plus tagged boundary faces.  Generators accept deal.II-style
+``grid type`` / ``grid arguments`` strings so reference decks work
+unmodified.
+
+Everything here is host-side NumPy; device arrays are built by
+:mod:`.dof` / the solver layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Manifold:
+    """A curved-geometry description (deal.II SphericalManifold analogue)."""
+    type: str                    # 'spherical'
+    center: np.ndarray           # [dim]
+
+
+@dataclass
+class Mesh:
+    dim: int
+    vertices: np.ndarray          # [Nv, dim] float64
+    cells: np.ndarray             # [E, 2^dim] int64, lexicographic corners
+    # boundary faces: columns (elem, local_face, boundary_id)
+    boundary_faces: np.ndarray    # [F, 3] int64
+    # manifold applying to the whole mesh (polar/spherical structured blocks)
+    manifold_all: Manifold | None = None
+    # boundary_id -> Manifold for boundary-attached curved geometry
+    boundary_manifolds: dict[int, Manifold] = field(default_factory=dict)
+    # declared periodic identifications: (bid_a, bid_b, axis)
+    periodic: list[tuple[int, int, int]] = field(default_factory=list)
+
+    @property
+    def n_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def n_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    # ------------------------------------------------------------------
+    def refine_uniform(self, times: int = 1) -> "Mesh":
+        mesh = self
+        for _ in range(times):
+            mesh = _refine_once(mesh)
+        return mesh
+
+
+# --------------------------------------------------------------------------
+# node placement (manifold-aware) — shared by refinement and Qk elevation
+# --------------------------------------------------------------------------
+
+def _to_polar(pts: np.ndarray, center: np.ndarray) -> np.ndarray:
+    """Cartesian -> (r, theta[, z-polar]) coordinates. 2D: (r, theta).
+    3D spherical: (r, theta, phi)."""
+    rel = pts - center
+    if pts.shape[-1] == 2:
+        r = np.hypot(rel[..., 0], rel[..., 1])
+        th = np.arctan2(rel[..., 1], rel[..., 0])
+        return np.stack([r, th], axis=-1)
+    r = np.linalg.norm(rel, axis=-1)
+    th = np.arctan2(rel[..., 1], rel[..., 0])
+    phi = np.arccos(np.clip(rel[..., 2] / np.maximum(r, 1e-300), -1, 1))
+    return np.stack([r, th, phi], axis=-1)
+
+
+def _from_polar(pol: np.ndarray, center: np.ndarray) -> np.ndarray:
+    if pol.shape[-1] == 2:
+        r, th = pol[..., 0], pol[..., 1]
+        return center + np.stack([r * np.cos(th), r * np.sin(th)], axis=-1)
+    r, th, phi = pol[..., 0], pol[..., 1], pol[..., 2]
+    return center + np.stack([
+        r * np.sin(phi) * np.cos(th),
+        r * np.sin(phi) * np.sin(th),
+        r * np.cos(phi)], axis=-1)
+
+
+def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
+                ref_nodes: np.ndarray) -> np.ndarray:
+    """Map reference nodes into every cell, honoring manifolds.
+
+    corner_coords: [E, 2^dim, dim] cell corner positions.
+    ref_nodes:     [nn, dim] reference coordinates in [0,1]^dim.
+    Returns [E, nn, dim] physical node positions.
+
+    With no manifold: multilinear (Q1) interpolation of the corners.
+    With a mesh-wide spherical manifold (polar-structured shells): the
+    interpolation runs in polar coordinates about the center, which places
+    edge/face/interior nodes exactly on circular arcs — the behavior the
+    reference gets from SphericalManifold on a hyper_shell.
+    """
+    E, nc, dim = corner_coords.shape
+    nn = ref_nodes.shape[0]
+    # multilinear shape functions of the corners at the ref nodes: [nn, nc]
+    w = np.ones((nn, nc))
+    for c in range(nc):
+        for d in range(dim):
+            bit = (c >> d) & 1
+            w[:, c] *= ref_nodes[:, d] if bit else (1.0 - ref_nodes[:, d])
+
+    if mesh.manifold_all is not None and mesh.manifold_all.type == "spherical":
+        center = mesh.manifold_all.center
+        pol = _to_polar(corner_coords, center)       # [E, nc, dim]
+        # unwrap theta per cell around the first corner
+        th0 = pol[:, :1, 1]
+        dth = pol[:, :, 1] - th0
+        dth = (dth + np.pi) % (2 * np.pi) - np.pi
+        pol = pol.copy()
+        pol[:, :, 1] = th0 + dth
+        nodes_pol = np.einsum("nc,ecd->end", w, pol)
+        return _from_polar(nodes_pol, center)
+
+    nodes = np.einsum("nc,ecd->end", w, corner_coords)
+
+    # boundary-attached spherical manifolds: radially project nodes lying on
+    # tagged faces (used for cylinder/sphere surfaces inside channel meshes)
+    if mesh.boundary_manifolds:
+        from .basis import _lex_indices  # local import to avoid cycle
+        n1d = int(round(nn ** (1.0 / dim)))
+        ij = _lex_indices(n1d, dim)
+        for (e, lf, bid) in mesh.boundary_faces:
+            man = mesh.boundary_manifolds.get(int(bid))
+            if man is None or man.type != "spherical":
+                continue
+            axis, side = divmod(int(lf), 2)
+            target = 0 if side == 0 else n1d - 1
+            sel = np.nonzero(ij[:, axis] == target)[0]
+            pts = nodes[e, sel]
+            rel = pts - man.center
+            rad = np.linalg.norm(rel, axis=-1, keepdims=True)
+            # project to the radius of the original corner vertices (they
+            # already sit on the manifold)
+            corner_sel = [s for s in sel if np.all((ij[s] == 0) | (ij[s] == n1d - 1))]
+            r_target = np.mean(np.linalg.norm(nodes[e, corner_sel] - man.center,
+                                              axis=-1))
+            nodes[e, sel] = man.center + rel / rad * r_target
+    return nodes
+
+
+def _dedup_nodes(all_nodes: np.ndarray, tol: float):
+    """Merge geometrically coincident nodes.
+
+    all_nodes: [M, dim]. Returns (unique_nodes[N, dim], inverse[M]).
+    """
+    q = np.round(all_nodes / tol).astype(np.int64)
+    _, first, inverse = np.unique(q, axis=0, return_index=True,
+                                  return_inverse=True)
+    return all_nodes[first], inverse
+
+
+def _mesh_tolerance(vertices: np.ndarray, cells: np.ndarray) -> float:
+    v0 = vertices[cells[:, 0]]
+    v1 = vertices[cells[:, 1]]
+    h = np.linalg.norm(v1 - v0, axis=-1)
+    hmin = max(h.min(), 1e-12)
+    return hmin * 1e-6
+
+
+# --------------------------------------------------------------------------
+# uniform refinement
+# --------------------------------------------------------------------------
+
+def _refine_once(mesh: Mesh) -> Mesh:
+    dim = mesh.dim
+    nc = 2 ** dim
+    # generate 3^dim nodes per cell (degree-2 lattice), manifold-aware
+    n1d = 3
+    from .basis import _lex_indices
+    ij = _lex_indices(n1d, dim)                       # [3^dim, dim]
+    ref = ij.astype(np.float64) / 2.0
+    corner_coords = mesh.vertices[mesh.cells]         # [E, 2^dim, dim]
+    cell_nodes = place_nodes(mesh, corner_coords, ref)  # [E, 3^dim, dim]
+
+    tol = _mesh_tolerance(mesh.vertices, mesh.cells)
+    flat = cell_nodes.reshape(-1, dim)
+    new_vertices, inverse = _dedup_nodes(flat, tol)
+    gid = inverse.reshape(mesh.n_cells, n1d ** dim)   # [E, 3^dim]
+
+    # children: offsets in {0,1}^dim; child corner (b0..bd) at lattice
+    # index (o+b) per axis
+    E = mesh.n_cells
+    children = np.zeros((E, nc, nc), dtype=np.int64)
+    child_of = {}
+    for ci in range(nc):
+        off = [(ci >> d) & 1 for d in range(dim)]
+        for corner in range(nc):
+            lat = 0
+            stride = 1
+            for d in range(dim):
+                bit = (corner >> d) & 1
+                lat += (off[d] + bit) * stride
+                stride *= n1d
+            children[:, ci, corner] = gid[:, lat]
+        child_of[tuple(off)] = ci
+    new_cells = children.reshape(E * nc, nc)
+
+    # boundary faces: child cells with matching offset on the face axis
+    faces = []
+    for (e, lf, bid) in mesh.boundary_faces:
+        axis, side = divmod(int(lf), 2)
+        for ci in range(nc):
+            off = [(ci >> d) & 1 for d in range(dim)]
+            if off[axis] == side:
+                faces.append((int(e) * nc + ci, int(lf), int(bid)))
+    new_faces = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+
+    return Mesh(dim=dim, vertices=new_vertices, cells=new_cells,
+                boundary_faces=new_faces, manifold_all=mesh.manifold_all,
+                boundary_manifolds=dict(mesh.boundary_manifolds),
+                periodic=list(mesh.periodic))
+
+
+# --------------------------------------------------------------------------
+# generators (GridGenerator equivalents)
+# --------------------------------------------------------------------------
+
+def subdivided_hyper_rectangle(p0, p1, subdivisions, colorize: bool = True,
+                               dim: int | None = None) -> Mesh:
+    """Axis-aligned box split into n0 x n1 (x n2) cells.
+
+    Boundary ids follow the deal.II 'colorize' convention the reference
+    decks rely on: 2*axis + side (x-: 0, x+: 1, y-: 2, y+: 3, z-: 4, z+: 5).
+    Without colorize all boundary ids are 0.
+    """
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    dim = dim or p0.shape[0]
+    subs = np.asarray(subdivisions, dtype=np.int64)
+    if subs.ndim == 0:
+        subs = np.full(dim, int(subs))
+
+    axes = [np.linspace(p0[d], p1[d], subs[d] + 1) for d in range(dim)]
+    shape = [len(a) for a in axes]
+    # vertices in lexicographic order, axis 0 fastest
+    grids = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([g.reshape(-1, order="F") for g in grids], axis=-1)
+
+    def vid(idx):
+        n = 0
+        stride = 1
+        for d in range(dim):
+            n += idx[d] * stride
+            stride *= shape[d]
+        return n
+
+    cells = []
+    E_idx = {}
+    ranges = [range(subs[d]) for d in range(dim)]
+    import itertools
+    for en, cell_idx in enumerate(itertools.product(*reversed(ranges))):
+        cell_idx = tuple(reversed(cell_idx))  # axis0 fastest enumeration
+        corners = []
+        for c in range(2 ** dim):
+            idx = [cell_idx[d] + ((c >> d) & 1) for d in range(dim)]
+            corners.append(vid(idx))
+        cells.append(corners)
+        E_idx[cell_idx] = en
+    cells = np.asarray(cells, dtype=np.int64)
+
+    faces = []
+    for cell_idx, en in E_idx.items():
+        for d in range(dim):
+            if cell_idx[d] == 0:
+                faces.append((en, 2 * d, 2 * d if colorize else 0))
+            if cell_idx[d] == subs[d] - 1:
+                faces.append((en, 2 * d + 1, 2 * d + 1 if colorize else 0))
+    return Mesh(dim=dim, vertices=pts, cells=cells,
+                boundary_faces=np.asarray(faces, dtype=np.int64).reshape(-1, 3))
+
+
+def hyper_cube(left: float = 0.0, right: float = 1.0, colorize: bool = False,
+               dim: int = 2) -> Mesh:
+    return subdivided_hyper_rectangle([left] * dim, [right] * dim,
+                                      [1] * dim, colorize=colorize, dim=dim)
+
+
+def hyper_shell(center, inner_radius: float, outer_radius: float,
+                n_cells: int = 0, colorize: bool = True) -> Mesh:
+    """2D annulus, polar-structured, with a mesh-wide spherical manifold.
+
+    Boundary ids (colorize, deal.II convention): inner = 0, outer = 1.
+    The theta direction is closed by construction (shared vertices).
+    """
+    center = np.asarray(center, dtype=np.float64)
+    dim = center.shape[0]
+    if dim != 2:
+        raise NotImplementedError("hyper_shell currently 2D only")
+    if n_cells <= 0:
+        n_cells = 8
+    nr, nth = 1, n_cells
+    radii = np.linspace(inner_radius, outer_radius, nr + 1)
+    thetas = np.linspace(0.0, 2 * np.pi, nth, endpoint=False)
+
+    verts = np.zeros(((nr + 1) * nth, 2))
+    for i, r in enumerate(radii):
+        for j, th in enumerate(thetas):
+            verts[i * nth + j] = center + r * np.array([np.cos(th), np.sin(th)])
+
+    cells = []
+    faces = []
+    for i in range(nr):
+        for j in range(nth):
+            jn = (j + 1) % nth
+            # lexicographic corners with axis0 = radial, axis1 = theta
+            c00 = i * nth + j
+            c10 = (i + 1) * nth + j
+            c01 = i * nth + jn
+            c11 = (i + 1) * nth + jn
+            en = len(cells)
+            cells.append([c00, c10, c01, c11])
+            if i == 0:
+                faces.append((en, 0, 0 if colorize else 0))
+            if i == nr - 1:
+                faces.append((en, 1, 1 if colorize else 0))
+    return Mesh(dim=2, vertices=verts, cells=np.asarray(cells, dtype=np.int64),
+                boundary_faces=np.asarray(faces, dtype=np.int64).reshape(-1, 3),
+                manifold_all=Manifold("spherical", center))
+
+
+def channel_with_cylinder(length: float = 2.2, height: float = 0.41,
+                          cx: float = 0.2, cy: float = 0.2,
+                          radius: float = 0.05, n_ring: int = 8,
+                          shell_factor: float = 2.0) -> Mesh:
+    """Rectangular channel with a circular hole (2D cylinder benchmark).
+
+    Built as an O-grid ring around the cylinder glued into a background
+    block mesh; the cylinder surface gets a spherical boundary manifold.
+    Boundary ids: 0 = inlet (x-), 1 = outlet (x+), 2 = walls (y+-),
+    3 = cylinder surface (matching common Lethe cylinder decks).
+    """
+    # ring of cells around the cylinder: inner radius = cylinder, outer =
+    # shell_factor * radius, square-ish outer boundary blended to circle
+    r_in, r_out = radius, shell_factor * radius
+    nth = 4 * n_ring
+    thetas = np.linspace(0.0, 2 * np.pi, nth, endpoint=False)
+
+    # outer ring vertices on a rounded square (blend circle->square)
+    verts = []
+    for th in thetas:
+        verts.append([cx + r_in * np.cos(th), cy + r_in * np.sin(th)])
+    for th in thetas:
+        verts.append([cx + r_out * np.cos(th), cy + r_out * np.sin(th)])
+    verts = np.asarray(verts)
+
+    cells = []
+    faces = []
+    for j in range(nth):
+        jn = (j + 1) % nth
+        en = len(cells)
+        cells.append([j, nth + j, jn, nth + jn])
+        faces.append((en, 0, 3))  # inner face = cylinder surface
+    # Note: gluing the ring into a channel background block requires the
+    # general multiblock path; until then this generator returns the ring
+    # mesh alone (usable for manifold/mapping tests). The full cylinder
+    # benchmark mesh lands with the gmsh reader / multiblock generator.
+    mesh = Mesh(dim=2, vertices=verts,
+                cells=np.asarray(cells, dtype=np.int64),
+                boundary_faces=np.asarray(faces, dtype=np.int64).reshape(-1, 3))
+    mesh.boundary_manifolds[3] = Manifold("spherical",
+                                          np.array([cx, cy]))
+    return mesh
+
+
+# --------------------------------------------------------------------------
+# deal.II-style string dispatch ("grid type" / "grid arguments")
+# --------------------------------------------------------------------------
+
+def generate_mesh(grid_type: str, grid_arguments: str, dim: int,
+                  initial_refinement: int = 0) -> Mesh:
+    """Build a mesh from deck strings (reference ``read_mesh`` analogue)."""
+    args = [a.strip() for a in grid_arguments.split(":")]
+
+    def _floats(s):
+        return [float(x) for x in s.replace(",", " ").split()]
+
+    def _ints(s):
+        return [int(float(x)) for x in s.replace(",", " ").split()]
+
+    def _bool(s):
+        return s.strip().lower() in ("true", "1", "yes", "on")
+
+    gt = grid_type.strip().lower()
+    if gt == "hyper_cube":
+        left, right = (float(args[0]), float(args[1])) if len(args) >= 2 \
+            else (0.0, 1.0)
+        colorize = _bool(args[2]) if len(args) >= 3 else False
+        mesh = hyper_cube(left, right, colorize, dim=dim)
+    elif gt == "subdivided_hyper_rectangle":
+        subs = _ints(args[0])
+        p0 = _floats(args[1])
+        p1 = _floats(args[2])
+        colorize = _bool(args[3]) if len(args) >= 4 else False
+        mesh = subdivided_hyper_rectangle(p0, p1, subs, colorize, dim=dim)
+    elif gt == "hyper_shell":
+        center = _floats(args[0])
+        r_in, r_out = float(args[1]), float(args[2])
+        n_cells = int(float(args[3])) if len(args) >= 4 else 0
+        colorize = _bool(args[4]) if len(args) >= 5 else True
+        mesh = hyper_shell(center, r_in, r_out, n_cells, colorize)
+    else:
+        raise ValueError(f"unknown grid type {grid_type!r}")
+    if initial_refinement > 0:
+        mesh = mesh.refine_uniform(initial_refinement)
+    return mesh
