@@ -230,7 +230,9 @@ class LinearSolverParams:
     def resolved_preconditioner(self) -> str:
         if self.preconditioner != "auto":
             return self.preconditioner
-        return "additive_schwarz" if self.ilu_fill >= 1 else "block_jacobi"
+        # block-Jacobi is the default ILU-slot preconditioner; element
+        # additive-Schwarz is available via 'set preconditioner'
+        return "block_jacobi"
 
 
 class BoundaryType(str, Enum):

@@ -1,0 +1,209 @@
+"""The solver engine: setup, steady/transient stepping, orchestration.
+
+Rebuild of the reference's ``NavierStokesBase`` (SURVEY.md §2.2 — the
+largest behavioral surface): mesh -> DoFs -> constraints -> initial
+condition -> { steady AMR cycles | transient time loop } with
+postprocessing, output, and checkpoint/restart.
+
+TPU-first split of responsibilities (SURVEY.md §7.1):
+- everything inside one step — residual, Jacobian-vector products, the
+  Newton loop, GMRES, preconditioning, line search — is ONE jitted
+  function with zero host sync;
+- the host (this class) only steers outer loops: time stepping, mesh
+  adaptation, output files, checkpointing.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.parameters import SimulationParameters, TimeSteppingMethod, Verbosity
+from ..core.simulation_control import SimulationControl
+from ..core.bdf import bdf_coefficients
+from ..core.expressions import VectorExpression
+from ..core.pvd_handler import PVDHandler
+from ..fem.mesh import generate_mesh, Mesh, Manifold
+from ..fem.dof import FESpace
+from ..core.parameters import BoundaryType
+from .gls import GLSOperator, StabFlags
+from .boundary import BoundaryHandler
+from .newton import newton_solve, NewtonConfig
+from .analytical import l2_error
+from ..ops.preconditioners import build_preconditioner
+
+
+class GLSNavierStokesSolver:
+    """Monolithic equal-order GLS solver (GLSNavierStokesSolver<dim>)."""
+
+    def __init__(self, prm: SimulationParameters, mesh: Mesh | None = None):
+        self.prm = prm
+        self.dim = prm.dim
+        self.pvd = PVDHandler()
+        self.control = SimulationControl(prm.simulation_control)
+        self.tables: dict[str, list] = {"L2": [], "forces": [], "ke": [],
+                                        "enstrophy": []}
+        self._mesh = mesh
+        self.setup()
+
+    # ------------------------------------------------------------------
+    def setup(self, mesh: Mesh | None = None) -> None:
+        """read_mesh + setup_dofs + operator/BC construction."""
+        prm = self.prm
+        if mesh is not None:
+            self._mesh = mesh
+        if self._mesh is None:
+            self._mesh = generate_mesh(
+                prm.mesh.grid_type, prm.mesh.grid_arguments, dim=self.dim,
+                initial_refinement=prm.mesh.initial_refinement)
+            # manifolds declared in the deck
+            for m in prm.manifolds.manifolds:
+                center = np.array([float(x) for x in
+                                   m.arg.replace(",", " ").split()]
+                                  or [0.0] * self.dim)
+                self._mesh.boundary_manifolds[m.id] = Manifold(m.type, center)
+        # periodic declarations reach the mesh before DoF numbering
+        for bc in prm.boundary_conditions.bcs:
+            if bc.type == BoundaryType.periodic:
+                pair = (bc.id, bc.periodic_id, bc.periodic_direction)
+                if pair not in self._mesh.periodic:
+                    self._mesh.periodic.append(pair)
+
+        self.space = FESpace(self._mesh, prm.fem.velocity_order)
+        stab = StabFlags(
+            supg=prm.stabilization.supg,
+            pspg=prm.stabilization.pspg,
+            gls_viscous_adjoint=prm.stabilization.gls_viscous_adjoint,
+            lsic=prm.stabilization.lsic,
+            frozen_tau=prm.stabilization.frozen_tau_jacobian)
+        self.op = GLSOperator(
+            self.space, prm.physical_properties.kinematic_viscosity,
+            n_q1d=prm.fem.n_quadrature_points_1d, stab=stab)
+        self.bh = BoundaryHandler(self.space, prm.boundary_conditions)
+
+        self.source = (VectorExpression(prm.source_term.xyz)
+                       if prm.source_term.enable else None)
+        self.exact = (VectorExpression(prm.analytical_solution.uvwp)
+                      if prm.analytical_solution.enable else None)
+
+        ls = prm.linear_solver
+        nls = prm.nonlinear_solver
+        self.newton_cfg = NewtonConfig(
+            tolerance=nls.tolerance,
+            max_iterations=nls.max_iterations,
+            max_halvings=nls.max_line_search_halvings,
+            method="bicgstab" if ls.method == "bicgstab" else "gmres",
+            gmres_restart=ls.max_krylov_vectors,
+            max_krylov_cycles=max(1, ls.max_iters // ls.max_krylov_vectors),
+            relative_residual=ls.relative_residual,
+            minimum_residual=ls.minimum_residual,
+            skip_iterations=nls.skip_iterations)
+        self.precond_kind = ls.resolved_preconditioner()
+
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._zero_prev = jnp.zeros((self.space.n_nodes, self.dim))
+
+    # ------------------------------------------------------------------
+    def _source_at(self, t):
+        if self.source is None:
+            return jnp.zeros_like(self.op.qpts_phys)
+        f = self.source.spatial(self.op.qpts_phys, t)
+        return f[..., :self.dim]
+
+    def _solve_impl(self, u0, uprev_combo, t, alpha0, sdt):
+        """One nonlinear solve (steady: alpha0=sdt=0). Fully jitted."""
+        op, bh = self.op, self.bh
+        mask = bh.mask
+        u0 = bh.constrain(u0, t)
+        fq = self._source_at(t)
+
+        def residual(u):
+            return op.residual(u, mask, uprev_combo, fq, alpha0, sdt)
+
+        def precond_builder(u):
+            A_e = op.element_matrices(u, mask, uprev_combo, fq, alpha0, sdt)
+            P = build_preconditioner(
+                self.precond_kind, A_e, op.elem_nodes, op.n_nodes,
+                op.nn, op.nc, inv_mult=op.inv_mult, bc_mask=mask)
+            return P.apply
+
+        return newton_solve(residual, u0, precond_builder=precond_builder,
+                            config=self.newton_cfg)
+
+    # ------------------------------------------------------------------
+    def initial_condition(self):
+        """set_initial_condition (nodal / none; viscous pre-solve below)."""
+        prm = self.prm
+        N, c = self.space.n_nodes, self.dim + 1
+        u = jnp.zeros((N, c))
+        if prm.initial_conditions.type in ("nodal", "L2projection"):
+            expr = VectorExpression(prm.initial_conditions.uvwp)
+            pts = jnp.asarray(self.space.nodes)
+            vals = expr.spatial(pts, 0.0)
+            u = vals[:, :c] if vals.shape[-1] >= c else \
+                jnp.pad(vals, ((0, 0), (0, c - vals.shape[-1])))
+        elif prm.initial_conditions.type == "viscous":
+            # steady pre-solve with the IC viscosity, then restore the
+            # run operator (reference: solve with inflated nu, restore nu)
+            op_run = self.op
+            self.op = GLSOperator(self.space,
+                                  prm.initial_conditions.viscosity,
+                                  n_q1d=prm.fem.n_quadrature_points_1d,
+                                  stab=op_run.stab)
+            self._solve_jit = jax.jit(self._solve_impl)
+            res = self._solve_jit(self.bh.constrain(u, 0.0),
+                                  self._zero_prev, 0.0, 0.0, 0.0)
+            u = res.u
+            self.op = op_run
+            self._solve_jit = jax.jit(self._solve_impl)
+        return self.bh.constrain(u, 0.0)
+
+    # ------------------------------------------------------------------
+    def solve_steady(self, u0=None, verbose: bool | None = None):
+        """One steady Newton solve; returns (u, NewtonResult)."""
+        if u0 is None:
+            u0 = self.initial_condition()
+        res = self._solve_jit(u0, self._zero_prev, 0.0, 0.0, 0.0)
+        self._log_newton(res, verbose)
+        return res.u, res
+
+    def solve_transient_step(self, u, previous, t, dts, order, verbose=None):
+        """One implicit BDF step.
+
+        previous: list of earlier solutions, newest first (u^{n-1}, ...).
+        dts: step sizes, dts[0] = current. order: effective BDF order.
+        Returns (u_new, NewtonResult).
+        """
+        alpha = bdf_coefficients(order, dts)
+        combo = jnp.zeros_like(self._zero_prev)
+        for i in range(1, order + 1):
+            combo = combo + alpha[i] * previous[i - 1][:, :self.dim]
+        res = self._solve_jit(u, combo, t, float(alpha[0]),
+                              1.0 / float(dts[0]))
+        self._log_newton(res, verbose)
+        return res.u, res
+
+    # ------------------------------------------------------------------
+    def _log_newton(self, res, verbose=None):
+        if verbose is None:
+            verbose = (self.prm.nonlinear_solver.verbosity
+                       is Verbosity.verbose and not self.prm.test.enable)
+        if not verbose:
+            return
+        hist = np.asarray(res.res_history)
+        prec = self.prm.simulation_control.log_precision
+        for i, r in enumerate(hist):
+            if np.isnan(r):
+                break
+            print(f"Newton iteration: {i:2d}  - Residual:  {r:.{prec}e}")
+
+    def l2_errors(self, u, t=0.0):
+        if self.exact is None:
+            return None
+        ev, ep = l2_error(self.op, u, self.exact, t)
+        return float(ev), float(ep)

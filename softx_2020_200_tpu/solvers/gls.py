@@ -1,0 +1,235 @@
+"""GLS-stabilized incompressible Navier-Stokes element kernels.
+
+This is the TPU-native rebuild of the reference's ``assembleGLS`` cell
+loop (``source/solvers/gls_navier_stokes.cc``, SURVEY.md §2.2 and §3.1
+"INNER HOT LOOP"): equal-order Qk-Qk velocity/pressure, Galerkin weak form
+plus SUPG + PSPG (+ optional GLS viscous-adjoint and LSIC) stabilization
+with the element-size-based tau.  Instead of assembling a Trilinos sparse
+matrix, everything is a *matrix-free* batched element kernel:
+
+    gather DoFs -> tensor-product contractions (MXU) -> physics at quad
+    points (VPU) -> transpose contractions -> scatter-add
+
+The Jacobian is never formed: J·v comes from ``jax.jvp`` through this
+kernel (exact full Newton, including the tau derivative unless frozen),
+and the preconditioners consume per-element dense blocks from
+``jax.jacfwd`` of the same kernel.
+
+Strong momentum residual (per quad point):
+    r_m = du/dt + (u.grad)u + grad p - nu lap u - f
+Stabilization parameter (transient; steady drops the 1/dt term):
+    tau = [ sdt^2 + (2|u|/h)^2 + 9 (4 nu / h^2)^2 ]^{-1/2}
+with h the equivalent-diameter element size divided by the FE degree
+(2D: sqrt(4 V / pi), 3D: cbrt(6 V / pi)).
+
+Note: shape-function Laplacians use the affine-mapping chain rule (exact
+on straight-sided cells; the mapping-curvature correction on curved cells
+affects only the stabilization consistency term and is omitted).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dof import FESpace
+from ..fem.geometry import det_and_inv
+from ..ops.operators import (
+    gather_elements, scatter_add_elements, node_multiplicity)
+
+
+@dataclass(frozen=True)
+class StabFlags:
+    supg: bool = True
+    pspg: bool = True
+    gls_viscous_adjoint: bool = True
+    lsic: bool = False
+    frozen_tau: bool = False
+
+
+class GLSOperator:
+    """Device-resident matrix-free GLS Navier-Stokes operator.
+
+    Holds the tabulated basis constants and element geometry on device and
+    exposes ``residual``, ``element_matrices``, and quadrature-point
+    utilities — all traceable under jit.
+    """
+
+    def __init__(self, space: FESpace, nu: float, n_q1d: int | None = None,
+                 stab: StabFlags = StabFlags(), dtype=None):
+        self.space = space
+        self.dim = space.dim
+        self.nc = self.dim + 1
+        self.nu = float(nu)
+        self.stab = stab
+        self.degree = space.degree
+        dtype = dtype or jnp.asarray(1.0).dtype
+        self.dtype = dtype
+
+        n_q1d = n_q1d or (space.degree + 1)
+        pts, wts, B, G, H = space.basis.quadrature(n_q1d)
+        self.n_q = wts.shape[0]
+        self.B = jnp.asarray(B, dtype)            # [nq, nn]
+        self.G = jnp.asarray(G, dtype)            # [nq, nn, d]
+        self.H = jnp.asarray(H, dtype)            # [nq, nn, d, d]
+        self.w = jnp.asarray(wts, dtype)          # [nq]
+        self.elem_nodes = jnp.asarray(space.elem_nodes)  # [E, nn] i32
+        self.xe = jnp.asarray(space.element_coords(), dtype)  # [E, nn, d]
+        self.n_nodes = space.n_nodes
+        self.nn = space.basis.n_nodes
+        mult = node_multiplicity(space.elem_nodes, space.n_nodes)
+        self.inv_mult = jnp.asarray(1.0 / mult, dtype)
+
+        # physical quad-point coordinates (for source / error evaluation)
+        self.qpts_phys = jnp.einsum("qn,end->eqd", self.B, self.xe)
+
+        self._elem_residual = self._build_element_kernel()
+
+    # ------------------------------------------------------------------
+    def _build_element_kernel(self):
+        B, G, H, w = self.B, self.G, self.H, self.w
+        d, nu, degree = self.dim, self.nu, self.degree
+        stab = self.stab
+        eye = jnp.eye(d, dtype=self.dtype)
+
+        def element_residual(ue, xe, uprev_e, fq, alpha0, sdt):
+            """Residual contribution of ONE element.
+
+            ue      [nn, d+1]  current element DoFs (u..., p)
+            xe      [nn, d]    element node coordinates
+            uprev_e [nn, d]    sum_i alpha_i u^{n-i} at element nodes
+            fq      [nq, d]    source term at quad points
+            alpha0  scalar     BDF weight of the unknown (0 for steady)
+            sdt     scalar     1/dt (0 for steady)
+            returns [nn, d+1]
+            """
+            # geometry at quad points
+            J = jnp.einsum("ni,qnj->qij", xe, G)          # dx/dxi
+            detJ, Jinv = det_and_inv(J)                   # Jinv = dxi/dx
+            scale = detJ * w                              # [nq]
+
+            # solution values / gradients / laplacians at quad points
+            uq = jnp.einsum("qn,nc->qc", B, ue)
+            du_dxi = jnp.einsum("qna,nc->qca", G, ue)
+            grad = jnp.einsum("qca,qai->qci", du_dxi, Jinv)
+            vel = uq[:, :d]
+            gvel = grad[:, :d, :]                         # [q, i, j]
+            p = uq[:, d]
+            gp = grad[:, d, :]
+            K = jnp.einsum("qai,qbi->qab", Jinv, Jinv)
+            d2u = jnp.einsum("qnab,nc->qcab", H, ue[:, :d])
+            lap = jnp.einsum("qcab,qab->qc", d2u, K)      # [q, d]
+
+            udot = alpha0 * vel + jnp.einsum("qn,nd->qd", B, uprev_e)
+            conv = jnp.einsum("qij,qj->qi", gvel, vel)
+            r_m = udot + conv + gp - nu * lap - fq        # strong residual
+            div = jnp.einsum("qii->q", gvel)
+
+            # element size h (equivalent diameter / degree) and tau
+            vol = jnp.sum(scale)
+            if d == 2:
+                h = jnp.sqrt(4.0 * vol / math.pi) / degree
+            else:
+                h = jnp.cbrt(6.0 * vol / math.pi) / degree
+            umag2 = jnp.sum(vel * vel, axis=-1)
+            tau = 1.0 / jnp.sqrt(
+                sdt * sdt + 4.0 * umag2 / (h * h)
+                + 9.0 * (4.0 * nu / (h * h)) ** 2)
+            if stab.frozen_tau:
+                tau = jax.lax.stop_gradient(tau)
+
+            # weak-form coefficient fields (all pre-multiplied by detJ*w)
+            a_v = scale[:, None] * (udot + conv - fq)            # phi value
+            a_g = scale[:, None, None] * (
+                nu * gvel - p[:, None, None] * eye)              # d phi/dx
+            a_p = scale * div                                    # psi value
+            a_pg = jnp.zeros_like(gp)
+            if stab.pspg:
+                a_pg = a_pg + (scale * tau)[:, None] * r_m       # grad psi
+            if stab.supg:
+                a_g = a_g + (scale * tau)[:, None, None] * \
+                    jnp.einsum("qi,qj->qij", r_m, vel)
+            if stab.lsic:
+                tau_l = 0.5 * jnp.sqrt(umag2) * h
+                a_g = a_g + (scale * tau_l * div)[:, None, None] * eye
+            a_lap = None
+            if stab.gls_viscous_adjoint:
+                a_lap = -(scale * tau * nu)[:, None] * r_m       # lap phi
+
+            # transpose contractions back to nodes
+            Rv = jnp.einsum("qn,qi->ni", B, a_v)
+            ag_ref = jnp.einsum("qij,qaj->qia", a_g, Jinv)
+            Rv = Rv + jnp.einsum("qna,qia->ni", G, ag_ref)
+            if a_lap is not None:
+                lap_phi = jnp.einsum("qnab,qab->qn", H, K)
+                Rv = Rv + jnp.einsum("qn,qi->ni", lap_phi, a_lap)
+            Rp = jnp.einsum("qn,q->n", B, a_p)
+            apg_ref = jnp.einsum("qj,qaj->qa", a_pg, Jinv)
+            Rp = Rp + jnp.einsum("qna,qa->n", G, apg_ref)
+            return jnp.concatenate([Rv, Rp[:, None]], axis=-1)
+
+        return element_residual
+
+    # ------------------------------------------------------------------
+    def residual_free(self, u, uprev_combo, fq, alpha0, sdt):
+        """Unconstrained residual R(u): [N, d+1] -> [N, d+1]."""
+        ue = gather_elements(u, self.elem_nodes)
+        upe = gather_elements(uprev_combo, self.elem_nodes)
+        r_el = jax.vmap(self._elem_residual,
+                        in_axes=(0, 0, 0, 0, None, None))(
+            ue, self.xe, upe, fq, alpha0, sdt)
+        return scatter_add_elements(r_el, self.elem_nodes, self.n_nodes)
+
+    def residual(self, u, bc_mask, uprev_combo, fq, alpha0, sdt):
+        """Constrained residual: zero at Dirichlet DoFs (the Newton update
+        there is pinned by the identity rows of the Jacobian)."""
+        R = self.residual_free(u, uprev_combo, fq, alpha0, sdt)
+        return jnp.where(bc_mask, 0.0, R)
+
+    # ------------------------------------------------------------------
+    def element_matrices(self, u, bc_mask, uprev_combo, fq, alpha0, sdt):
+        """Per-element dense Jacobian blocks [E, nn*(d+1), nn*(d+1)].
+
+        Constrained rows/cols are zeroed with a unit diagonal so the local
+        blocks stay invertible — the matrix-free analogue of
+        ``AffineConstraints`` row elimination.  Feeds the block-Jacobi /
+        additive-Schwarz preconditioners (the reference's ILU/AMG slot).
+        """
+        ue = gather_elements(u, self.elem_nodes)
+        upe = gather_elements(uprev_combo, self.elem_nodes)
+        me = gather_elements(bc_mask.astype(self.dtype), self.elem_nodes)
+
+        jac_single = jax.jacfwd(self._elem_residual, argnums=0)
+        A = jax.vmap(jac_single, in_axes=(0, 0, 0, 0, None, None))(
+            ue, self.xe, upe, fq, alpha0, sdt)      # [E, nn, c, nn, c]
+        nc = self.nn * self.nc
+        A = A.reshape(A.shape[0], nc, nc)
+        m = me.reshape(me.shape[0], nc)
+        keep = (1.0 - m)
+        A = A * keep[:, :, None] * keep[:, None, :]
+        A = A + jnp.einsum("ek,kl->ekl", m, jnp.eye(nc, dtype=self.dtype))
+        return A
+
+    # ------------------------------------------------------------------
+    def cfl(self, u, dt):
+        """max over elements/quad points of |u| dt / h (for adaptive dt)."""
+        ue = gather_elements(u, self.elem_nodes)
+
+        def one(ue_, xe_):
+            J = jnp.einsum("ni,qnj->qij", xe_, self.G)
+            detJ, _ = det_and_inv(J)
+            vol = jnp.sum(detJ * self.w)
+            if self.dim == 2:
+                h = jnp.sqrt(4.0 * vol / math.pi) / self.degree
+            else:
+                h = jnp.cbrt(6.0 * vol / math.pi) / self.degree
+            uq = jnp.einsum("qn,nd->qd", self.B, ue_[:, :self.dim])
+            return jnp.max(jnp.linalg.norm(uq, axis=-1)) / h
+
+        per_elem = jax.vmap(one)(ue, self.xe)
+        return dt * jnp.max(per_elem)

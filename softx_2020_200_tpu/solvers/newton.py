@@ -1,0 +1,136 @@
+"""Newton nonlinear driver with line search — fully jit-resident.
+
+Rebuild of the reference's ``NewtonNonLinearSolver`` /
+``SkipNewtonNonLinearSolver`` (``include/core/*newton*`` — SURVEY.md
+§2.1): loop { build preconditioner; solve J d = -R matrix-free (jvp);
+alpha-halving line search on ||R||; update } until ||R|| < tol.
+
+Differences from the reference, by design:
+- The Jacobian is exact via ``jax.jvp`` through the residual (no hand
+  assembly); "skip" mode reuses the *preconditioner* across iterations
+  (the expensive part here) while J.v stays exact.
+- The entire Newton solve is one jitted region (lax.while_loop): zero
+  host synchronization per Newton iteration (BASELINE north star).
+
+Returns per-iteration residual-norm history so the host can print the
+reference-style convergence log afterwards without syncing mid-solve.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.linalg import gmres, bicgstab
+
+
+@dataclass(frozen=True)
+class NewtonConfig:
+    tolerance: float = 1e-6
+    max_iterations: int = 10
+    max_halvings: int = 4
+    # linear solver
+    method: str = "gmres"            # gmres | bicgstab
+    gmres_restart: int = 50
+    max_krylov_cycles: int = 20
+    relative_residual: float = 1e-3
+    minimum_residual: float = 1e-10
+    # preconditioner refresh cadence (1 = every iteration; >1 = skip-Newton)
+    skip_iterations: int = 1
+
+
+class NewtonResult(NamedTuple):
+    u: jax.Array
+    res_history: jax.Array       # [max_iterations+1] residual norms (nan-pad)
+    n_iterations: jax.Array
+    linear_iters: jax.Array
+    alphas: jax.Array            # line-search alpha per iteration
+
+
+def newton_solve(residual_fn: Callable, u0, *,
+                 precond_builder: Callable,
+                 config: NewtonConfig,
+                 reduce_fn=lambda x: x) -> NewtonResult:
+    """Solve R(u) = 0.
+
+    residual_fn:     u[N, c] -> R[N, c] (constrained; zero at Dirichlet)
+    precond_builder: u[N, c] -> (v[N, c] -> M^{-1} v)
+    reduce_fn:       cross-shard sum for norms/dots (psum under shard_map)
+    """
+    shape = u0.shape
+    nflat = u0.size
+
+    def norm(R):
+        return jnp.sqrt(reduce_fn(jnp.sum(R * R)))
+
+    def flat_residual(u_flat):
+        return residual_fn(u_flat.reshape(shape)).reshape(-1)
+
+    maxit = config.max_iterations
+
+    def body(state):
+        u, R, rnorm, it, lin_total, hist, alphas = state
+
+        # matrix-free Jacobian-vector product at the current iterate
+        def matvec(v_flat):
+            return jax.jvp(flat_residual, (u.reshape(-1),), (v_flat,))[1]
+
+        precond = precond_builder(u.reshape(shape))
+
+        def pre_flat(v_flat):
+            return precond(v_flat.reshape(shape)).reshape(-1)
+
+        lin_atol = jnp.maximum(config.relative_residual * rnorm,
+                               config.minimum_residual)
+        if config.method == "bicgstab":
+            d, lin_r, lin_it = bicgstab(
+                matvec, -R.reshape(-1), precond=pre_flat,
+                max_iters=config.gmres_restart * config.max_krylov_cycles,
+                atol=lin_atol, reduce_fn=reduce_fn)
+        else:
+            d, lin_r, lin_it = gmres(
+                matvec, -R.reshape(-1), precond=pre_flat,
+                m=config.gmres_restart,
+                max_restarts=config.max_krylov_cycles,
+                atol=lin_atol, reduce_fn=reduce_fn)
+        d = d.reshape(shape)
+
+        # alpha-halving line search on ||R(u + alpha d)||
+        R1 = residual_fn(u + d)
+        n1 = norm(R1)
+
+        def ls_cond(s):
+            k, alpha, Rt, nt = s
+            return (nt >= rnorm) & (k < config.max_halvings)
+
+        def ls_body(s):
+            k, alpha, Rt, nt = s
+            alpha = alpha * 0.5
+            Rt = residual_fn(u + alpha * d)
+            return (k + 1, alpha, Rt, norm(Rt))
+
+        k, alpha, Rt, nt = lax.while_loop(
+            ls_cond, ls_body, (0, jnp.asarray(1.0, u.dtype), R1, n1))
+
+        u_new = u + alpha * d
+        hist = hist.at[it + 1].set(nt)
+        alphas = alphas.at[it].set(alpha)
+        return (u_new, Rt, nt, it + 1, lin_total + lin_it, hist, alphas)
+
+    def cond(state):
+        u, R, rnorm, it, lin_total, hist, alphas = state
+        return (rnorm > config.tolerance) & (it < maxit)
+
+    R0 = residual_fn(u0)
+    n0 = norm(R0)
+    hist0 = jnp.full(maxit + 1, jnp.nan, dtype=u0.dtype).at[0].set(n0)
+    alphas0 = jnp.full(maxit, jnp.nan, dtype=u0.dtype)
+
+    u, R, rnorm, it, lin_total, hist, alphas = lax.while_loop(
+        cond, body, (u0, R0, n0, 0, 0, hist0, alphas0))
+    return NewtonResult(u=u, res_history=hist, n_iterations=it,
+                        linear_iters=lin_total, alphas=alphas)
