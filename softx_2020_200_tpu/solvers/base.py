@@ -90,6 +90,17 @@ class GLSNavierStokesSolver:
                        if prm.source_term.enable else None)
         self.exact = (VectorExpression(prm.analytical_solution.uvwp)
                       if prm.analytical_solution.enable else None)
+        # MMS: derive the forcing from the exact solution by autodiff when
+        # the deck enables a source term with the magic expression 'mms'
+        self._mms_source = None
+        if (self.source is not None
+                and prm.source_term.xyz.strip().lower().startswith("mms")):
+            if self.exact is None:
+                raise ValueError("source 'mms' requires an analytical solution")
+            from .analytical import mms_source
+            self._mms_source = mms_source(
+                self.exact, prm.physical_properties.kinematic_viscosity,
+                self.dim)
 
         ls = prm.linear_solver
         nls = prm.nonlinear_solver
@@ -110,6 +121,8 @@ class GLSNavierStokesSolver:
 
     # ------------------------------------------------------------------
     def _source_at(self, t):
+        if self._mms_source is not None:
+            return self._mms_source(self.op.qpts_phys, t)
         if self.source is None:
             return jnp.zeros_like(self.op.qpts_phys)
         f = self.source.spatial(self.op.qpts_phys, t)
@@ -189,6 +202,85 @@ class GLSNavierStokesSolver:
         return res.u, res
 
     # ------------------------------------------------------------------
+    def run_transient(self, u0=None, on_step=None, verbose=None,
+                      history_from_exact: bool = False):
+        """Transient BDF time loop (reference §3.2 call stack).
+
+        BDF startup ramps the order 1 -> target using available history
+        (the reference's first_iteration() startup analogue); with
+        ``history_from_exact`` the BDF history is seeded from the
+        analytical solution at negative times instead (full order from
+        the first step — used by temporal-order verification).  CFL-driven
+        dt adaptation via SimulationControl.  ``on_step(solver, u, t)``
+        is the postprocess/output hook.  Returns the final solution.
+        """
+        ctrl = self.control
+        target_order = ctrl.method.bdf_order
+        if target_order == 0:
+            raise ValueError("run_transient requires a bdf method")
+        if u0 is None:
+            u0 = self.initial_condition()
+        u = u0
+        previous = [u0] * 3    # newest first
+        if history_from_exact:
+            if self.exact is None:
+                raise ValueError("history_from_exact needs an analytical "
+                                 "solution")
+            pts = jnp.asarray(self.space.nodes)
+            c = self.dim + 1
+            previous = [u0] + [
+                self.exact.spatial(pts, ctrl.time - i * ctrl.dt)[:, :c]
+                for i in (1, 2)]
+            # pre-fill the dt history so the first step runs at full order
+            ctrl.dt_history = [ctrl.dt] * target_order
+        while not ctrl.is_at_end():
+            ctrl.integrate()
+            order = ctrl.effective_bdf_order()
+            t = ctrl.time
+            u, res = self.solve_transient_step(
+                u, previous, t, ctrl.dts(), order, verbose=verbose)
+            ctrl.cfl = float(self.op.cfl(u, ctrl.dt))
+            previous = [u] + previous[:2]
+            if on_step is not None:
+                on_step(self, u, t)
+        return u
+
+    def solve(self, on_cycle=None):
+        """Full reference-style orchestration (steady path).
+
+        Steady: mesh-adaptation cycles (uniform implemented; kelly lands
+        with the AMR subsystem), each cycle solve + L2-error table row.
+        Transient: delegates to run_transient.
+        Returns the final solution.
+        """
+        prm = self.prm
+        if not self.control.is_steady():
+            return self.run_transient(on_step=on_cycle)
+        n_cycles = prm.simulation_control.number_mesh_adaptation + 1
+        u = None
+        for cycle in range(n_cycles):
+            if cycle > 0:
+                if prm.mesh_adaptation.type in ("uniform", "none"):
+                    self.setup(self._mesh.refine_uniform(1))
+                else:
+                    raise NotImplementedError(
+                        "kelly adaptation arrives with the AMR subsystem")
+            u, res = self.solve_steady()
+            if self.exact is not None:
+                ev, ep = self.l2_errors(u)
+                self.tables["L2"].append(
+                    {"cells": self.space.n_elements,
+                     "dofs": self.space.n_dofs(self.dim + 1),
+                     "error_velocity": ev, "error_pressure": ep})
+                if (prm.analytical_solution.verbosity is Verbosity.verbose
+                        or prm.test.enable):
+                    prec = prm.simulation_control.log_precision
+                    print(f"L2 error velocity : {ev:.{prec}e}  "
+                          f"L2 error pressure: {ep:.{prec}e}")
+            if on_cycle is not None:
+                on_cycle(self, u, 0.0)
+        return u
+
     def _log_newton(self, res, verbose=None):
         if verbose is None:
             verbose = (self.prm.nonlinear_solver.verbosity
