@@ -1,0 +1,12 @@
+"""2D GLS Navier-Stokes application (reference:
+applications/gls_navier_stokes_2d — SURVEY.md §2.3)."""
+
+from .common import run_app
+
+
+def main(argv=None) -> int:
+    return run_app(2, argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

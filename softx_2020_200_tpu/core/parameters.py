@@ -518,3 +518,133 @@ class SimulationParameters:
         from .prm import parse_prm
         p = cls(dim=dim)
         return p.parse(parse_prm(text))
+
+
+def declare_template(dim: int = 2) -> str:
+    """Render a fully-populated default deck (the reference's
+    navier_stokes_parameter_template application — SURVEY.md §2.3)."""
+    p = SimulationParameters(dim=dim)
+    fn_default = "; ".join(["0"] * (dim + 1))
+    sc, pp = p.simulation_control, p.physical_properties
+    lines = f"""# Parameter deck template — softx_2020_200_tpu (all defaults)
+subsection simulation control
+  set method                       = {sc.method.value}  # steady|bdf1|bdf2|bdf3
+  set time step                    = {sc.dt}
+  set time end                     = {sc.time_end}
+  set adapt                        = {str(sc.adapt).lower()}
+  set max cfl                      = {sc.max_cfl}
+  set adaptative time step scaling = {sc.adaptative_time_step_scaling}
+  set number mesh adapt            = {sc.number_mesh_adaptation}
+  set output name                  = {sc.output_name}
+  set output path                  = {sc.output_path}
+  set output frequency             = {sc.output_frequency}
+  set subdivision                  = {sc.subdivision}
+  set log precision                = {sc.log_precision}
+end
+subsection physical properties
+  set kinematic viscosity = {pp.kinematic_viscosity}
+end
+subsection FEM
+  set velocity order    = {p.fem.velocity_order}
+  set pressure order    = {p.fem.pressure_order}
+  set quadrature points = {p.fem.quadrature_points}  # 0 = order+1
+  set qmapping all      = {str(p.fem.qmapping_all).lower()}
+end
+subsection mesh
+  set type               = {p.mesh.type}  # dealii | gmsh
+  set file name          = {p.mesh.file_name}
+  set grid type          = {p.mesh.grid_type}
+  set grid arguments     = {p.mesh.grid_arguments}
+  set initial refinement = {p.mesh.initial_refinement}
+end
+subsection mesh adaptation
+  set type                 = {p.mesh_adaptation.type}  # none|uniform|kelly
+  set variable             = {p.mesh_adaptation.variable}
+  set fraction type        = {p.mesh_adaptation.fraction_type}
+  set max number elements  = {p.mesh_adaptation.max_number_elements}
+  set max refinement level = {p.mesh_adaptation.max_refinement_level}
+  set min refinement level = {p.mesh_adaptation.min_refinement_level}
+  set frequency            = {p.mesh_adaptation.frequency}
+  set fraction refinement  = {p.mesh_adaptation.fraction_refinement}
+  set fraction coarsening  = {p.mesh_adaptation.fraction_coarsening}
+end
+subsection boundary conditions
+  set number = 0
+  # subsection bc 0
+  #   set id   = 0
+  #   set type = noslip  # noslip|slip|function|periodic|outlet
+  #   subsection u
+  #     set Function expression = 0
+  #   end
+  # end
+end
+subsection initial conditions
+  set type      = {p.initial_conditions.type}  # none|nodal|L2projection|viscous
+  set viscosity = {p.initial_conditions.viscosity}
+  subsection uvwp
+    set Function expression = {fn_default}
+  end
+end
+subsection source term
+  set enable = {str(p.source_term.enable).lower()}
+  subsection xyz
+    set Function expression = {fn_default}  # or 'mms' to derive by autodiff
+  end
+end
+subsection analytical solution
+  set enable    = {str(p.analytical_solution.enable).lower()}
+  set verbosity = {p.analytical_solution.verbosity.value}
+  set filename  = {p.analytical_solution.filename}
+  subsection uvwp
+    set Function expression = {fn_default}
+  end
+end
+subsection forces
+  set verbosity             = {p.forces.verbosity.value}
+  set calculate forces      = {str(p.forces.calculate_forces).lower()}
+  set calculate torques     = {str(p.forces.calculate_torques).lower()}
+  set force name            = {p.forces.force_output_name}
+  set torque name           = {p.forces.torque_output_name}
+  set output precision      = {p.forces.output_precision}
+  set calculation frequency = {p.forces.calculation_frequency}
+  set output frequency      = {p.forces.output_frequency}
+end
+subsection post-processing
+  set verbosity               = {p.post_processing.verbosity.value}
+  set calculate kinetic energy = {str(p.post_processing.calculate_kinetic_energy).lower()}
+  set calculate enstrophy      = {str(p.post_processing.calculate_enstrophy).lower()}
+end
+subsection non-linear solver
+  set verbosity       = {p.nonlinear_solver.verbosity.value}
+  set solver          = {p.nonlinear_solver.solver}
+  set tolerance       = {p.nonlinear_solver.tolerance}
+  set max iterations  = {p.nonlinear_solver.max_iterations}
+  set skip iterations = {p.nonlinear_solver.skip_iterations}
+end
+subsection linear solver
+  set verbosity          = {p.linear_solver.verbosity.value}
+  set method             = {p.linear_solver.method}
+  set max iters          = {p.linear_solver.max_iters}
+  set relative residual  = {p.linear_solver.relative_residual}
+  set minimum residual   = {p.linear_solver.minimum_residual}
+  set max krylov vectors = {p.linear_solver.max_krylov_vectors}
+  set ilu preconditioner fill = {p.linear_solver.ilu_fill}
+  set preconditioner     = {p.linear_solver.preconditioner}  # auto|jacobi|block_jacobi|additive_schwarz
+end
+subsection restart
+  set checkpoint = {str(p.restart.checkpoint).lower()}
+  set restart    = {str(p.restart.restart).lower()}
+  set filename   = {p.restart.filename}
+  set frequency  = {p.restart.frequency}
+end
+subsection timer
+  set type = {p.timer.type}  # none|iteration|end
+end
+subsection manifolds
+  set number = 0
+end
+subsection test
+  set enable = {str(p.test.enable).lower()}
+end
+"""
+    return lines

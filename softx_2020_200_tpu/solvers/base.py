@@ -15,6 +15,8 @@ TPU-first split of responsibilities (SURVEY.md §7.1):
 
 from __future__ import annotations
 
+import json
+import os
 import time as _time
 from dataclasses import dataclass
 from functools import partial
@@ -36,6 +38,10 @@ from .boundary import BoundaryHandler
 from .newton import newton_solve, NewtonConfig
 from .analytical import l2_error
 from ..ops.preconditioners import build_preconditioner
+from ..core.timer import SectionTimer
+from ..utils.tables import Table
+from ..utils.vtu import write_vtu, subcell_connectivity
+from . import postprocessing as post
 
 
 class GLSNavierStokesSolver:
@@ -46,8 +52,12 @@ class GLSNavierStokesSolver:
         self.dim = prm.dim
         self.pvd = PVDHandler()
         self.control = SimulationControl(prm.simulation_control)
+        self.timer = SectionTimer()
         self.tables: dict[str, list] = {"L2": [], "forces": [], "ke": [],
                                         "enstrophy": []}
+        self._force_tables: dict[int, Table] = {}
+        self._torque_tables: dict[int, Table] = {}
+        self._ke_table: Table | None = None
         self._mesh = mesh
         self.setup()
 
@@ -233,16 +243,46 @@ class GLSNavierStokesSolver:
                 for i in (1, 2)]
             # pre-fill the dt history so the first step runs at full order
             ctrl.dt_history = [ctrl.dt] * target_order
+
+        prm = self.prm
+        if prm.restart.restart:
+            u, previous = self.read_checkpoint()
+
         while not ctrl.is_at_end():
             ctrl.integrate()
             order = ctrl.effective_bdf_order()
             t = ctrl.time
-            u, res = self.solve_transient_step(
-                u, previous, t, ctrl.dts(), order, verbose=verbose)
+            if (prm.simulation_control.method is not TimeSteppingMethod.steady
+                    and not prm.test.enable and verbose is not False):
+                prec = prm.simulation_control.log_precision
+                print(f"*** Time step : {ctrl.iteration}  "
+                      f"time = {t:.{prec}g}  dt = {ctrl.dt:.{prec}g} ***")
+            with self.timer.section("solve"):
+                u, res = self.solve_transient_step(
+                    u, previous, t, ctrl.dts(), order, verbose=verbose)
             ctrl.cfl = float(self.op.cfl(u, ctrl.dt))
             previous = [u] + previous[:2]
+            with self.timer.section("postprocess"):
+                self.postprocess(u, t)
+                if self.exact is not None and (
+                        prm.analytical_solution.verbosity is Verbosity.verbose
+                        or prm.test.enable):
+                    ev, ep = self.l2_errors(u, t)
+                    prec = prm.simulation_control.log_precision
+                    print(f"L2 error velocity : {ev:.{prec}e}")
+            if ctrl.is_output_iteration():
+                self.write_output(u, t)
+            if prm.restart.checkpoint and \
+                    ctrl.iteration % prm.restart.frequency == 0:
+                self.write_checkpoint(u, previous)
             if on_step is not None:
                 on_step(self, u, t)
+            if prm.timer.type == "iteration":
+                print(self.timer.report())
+                self.timer.reset()
+        self.write_tables()
+        if prm.timer.type == "end":
+            print(self.timer.report())
         return u
 
     def solve(self, on_cycle=None):
@@ -265,7 +305,8 @@ class GLSNavierStokesSolver:
                 else:
                     raise NotImplementedError(
                         "kelly adaptation arrives with the AMR subsystem")
-            u, res = self.solve_steady()
+            with self.timer.section("solve"):
+                u, res = self.solve_steady()
             if self.exact is not None:
                 ev, ep = self.l2_errors(u)
                 self.tables["L2"].append(
@@ -277,9 +318,148 @@ class GLSNavierStokesSolver:
                     prec = prm.simulation_control.log_precision
                     print(f"L2 error velocity : {ev:.{prec}e}  "
                           f"L2 error pressure: {ep:.{prec}e}")
+            with self.timer.section("postprocess"):
+                self.postprocess(u, 0.0)
+            if prm.simulation_control.output_frequency > 0:
+                self.write_output(u, 0.0)
             if on_cycle is not None:
                 on_cycle(self, u, 0.0)
+        self.write_tables()
+        if self.tables["L2"]:
+            t = Table(["cells", "dofs", "error_velocity", "error_pressure"])
+            for row in self.tables["L2"]:
+                t.add_row(row)
+            t.write(os.path.join(prm.simulation_control.output_path,
+                                 prm.analytical_solution.filename + ".dat"))
+        if prm.timer.type == "end":
+            print(self.timer.report())
         return u
+
+    # ------------------------------------------------------------------
+    # postprocessing (reference: postprocess() in §3.1/3.2 call stacks)
+    # ------------------------------------------------------------------
+    def postprocess(self, u, t: float) -> None:
+        prm = self.prm
+        prec = prm.forces.output_precision
+        it = self.control.iteration
+        if prm.forces.calculate_forces and \
+                it % prm.forces.calculation_frequency == 0:
+            with self.timer.section("calculate_forces"):
+                for bid, faces in sorted(self.space.boundary_faces.items()):
+                    f = np.asarray(post.forces_on_boundary(self.op, u, faces))
+                    tab = self._force_tables.setdefault(
+                        bid, Table(["time"] + [f"f_{ax}" for ax in
+                                               "xyz"[:self.dim]],
+                                   precision=prec))
+                    tab.add_row([t] + list(map(float, f)))
+                    if prm.forces.verbosity is Verbosity.verbose \
+                            or prm.test.enable:
+                        comps = " ".join(f"{v:.{prm.simulation_control.log_precision}e}"
+                                         for v in f)
+                        print(f"Force boundary {bid} : {comps}")
+        if prm.forces.calculate_torques and \
+                it % prm.forces.calculation_frequency == 0:
+            with self.timer.section("calculate_torques"):
+                for bid, faces in sorted(self.space.boundary_faces.items()):
+                    tq = np.asarray(post.torques_on_boundary(
+                        self.op, u, faces, center=np.zeros(self.dim)))
+                    tab = self._torque_tables.setdefault(
+                        bid, Table(["time"] + [f"T_{i}" for i in
+                                               range(tq.shape[0])],
+                                   precision=prec))
+                    tab.add_row([t] + list(map(float, tq)))
+        pp = prm.post_processing
+        if (pp.calculate_kinetic_energy or pp.calculate_enstrophy) and \
+                it % pp.calculation_frequency == 0:
+            with self.timer.section("postprocess_energy"):
+                row = {"time": t}
+                if pp.calculate_kinetic_energy:
+                    row["kinetic-energy"] = float(post.kinetic_energy(self.op, u))
+                    self.tables["ke"].append((t, row["kinetic-energy"]))
+                if pp.calculate_enstrophy:
+                    row["enstrophy"] = float(post.enstrophy(self.op, u))
+                    self.tables["enstrophy"].append((t, row["enstrophy"]))
+                if pp.verbosity is Verbosity.verbose or prm.test.enable:
+                    msg = "  ".join(f"{k}: {v:.6e}" for k, v in row.items()
+                                    if k != "time")
+                    print(msg)
+
+    def write_tables(self) -> None:
+        """Write force/torque/KE tables as .dat files (reference format)."""
+        prm = self.prm
+        outdir = prm.simulation_control.output_path
+        for bid, tab in self._force_tables.items():
+            tab.write(os.path.join(
+                outdir, f"{prm.forces.force_output_name}.{bid}.dat"))
+        for bid, tab in self._torque_tables.items():
+            tab.write(os.path.join(
+                outdir, f"{prm.forces.torque_output_name}.{bid}.dat"))
+        pp = prm.post_processing
+        if self.tables["ke"]:
+            t = Table(["time", pp.kinetic_energy_name])
+            for row in self.tables["ke"]:
+                t.add_row(list(row))
+            t.write(os.path.join(outdir, f"{pp.kinetic_energy_name}.dat"))
+        if self.tables["enstrophy"]:
+            t = Table(["time", pp.enstrophy_name])
+            for row in self.tables["enstrophy"]:
+                t.add_row(list(row))
+            t.write(os.path.join(outdir, f"{pp.enstrophy_name}.dat"))
+
+    # ------------------------------------------------------------------
+    # field output (reference: write_output_results)
+    # ------------------------------------------------------------------
+    def write_output(self, u, t: float) -> None:
+        prm = self.prm
+        with self.timer.section("output"):
+            it = self.control.iteration
+            name = f"{prm.simulation_control.output_name}.{it:05d}.vtu"
+            path = os.path.join(prm.simulation_control.output_path, name)
+            un = np.asarray(u)
+            pdata = {"velocity": un[:, :self.dim],
+                     "pressure": un[:, self.dim]}
+            pdata["vorticity"] = np.asarray(
+                post.vorticity_field(self.op, u))
+            pdata["q_criterion"] = np.asarray(
+                post.q_criterion_field(self.op, u))
+            cells = subcell_connectivity(self.space.elem_nodes,
+                                         self.space.degree, self.dim)
+            write_vtu(path, self.space.nodes, cells, pdata)
+            self.pvd.append(t, name)
+            self.pvd.write(os.path.join(
+                prm.simulation_control.output_path,
+                prm.simulation_control.output_name + ".pvd"))
+
+    # ------------------------------------------------------------------
+    # checkpoint / restart (reference §3.4, §5.4)
+    # ------------------------------------------------------------------
+    def write_checkpoint(self, u, previous) -> None:
+        prm = self.prm
+        path = os.path.join(prm.simulation_control.output_path,
+                            prm.restart.filename)
+        with self.timer.section("checkpoint"):
+            np.savez(
+                path + ".npz",
+                u=np.asarray(u),
+                previous=np.stack([np.asarray(p) for p in previous]),
+                control=json.dumps(self.control.serialize()),
+                pvd=json.dumps(self.pvd.serialize()),
+                n_nodes=self.space.n_nodes,
+                degree=self.space.degree)
+
+    def read_checkpoint(self):
+        prm = self.prm
+        path = os.path.join(prm.simulation_control.output_path,
+                            prm.restart.filename) + ".npz"
+        data = np.load(path, allow_pickle=False)
+        if int(data["n_nodes"]) != self.space.n_nodes or \
+                int(data["degree"]) != self.space.degree:
+            raise ValueError("checkpoint does not match current mesh/space")
+        self.control.deserialize(json.loads(str(data["control"])))
+        self.pvd.deserialize(json.loads(str(data["pvd"])))
+        u = jnp.asarray(data["u"])
+        previous = [jnp.asarray(p) for p in data["previous"]]
+        return u, previous
 
     def _log_newton(self, res, verbose=None):
         if verbose is None:
