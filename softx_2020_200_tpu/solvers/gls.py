@@ -52,6 +52,96 @@ class StabFlags:
     frozen_tau: bool = False
 
 
+def make_element_kernel(*, dim: int, degree: int, B, G, H, w, nu: float,
+                        stab: StabFlags, dtype):
+    """Build the single-element GLS residual kernel (see module docstring).
+
+    Shared by the single-device ``GLSOperator`` and the sharded path in
+    :mod:`..parallel` — the physics is identical; only gather/scatter and
+    reductions differ across shards.
+    """
+    eye = jnp.eye(dim, dtype=dtype)
+    d = dim
+
+    def element_residual(ue, xe, uprev_e, fq, alpha0, sdt):
+        """Residual contribution of ONE element.
+
+        ue      [nn, d+1]  current element DoFs (u..., p)
+        xe      [nn, d]    element node coordinates
+        uprev_e [nn, d]    sum_i alpha_i u^{n-i} at element nodes
+        fq      [nq, d]    source term at quad points
+        alpha0  scalar     BDF weight of the unknown (0 for steady)
+        sdt     scalar     1/dt (0 for steady)
+        returns [nn, d+1]
+        """
+        # geometry at quad points
+        J = jnp.einsum("ni,qnj->qij", xe, G)          # dx/dxi
+        detJ, Jinv = det_and_inv(J)                   # Jinv = dxi/dx
+        scale = detJ * w                              # [nq]
+
+        # solution values / gradients / laplacians at quad points
+        uq = jnp.einsum("qn,nc->qc", B, ue)
+        du_dxi = jnp.einsum("qna,nc->qca", G, ue)
+        grad = jnp.einsum("qca,qai->qci", du_dxi, Jinv)
+        vel = uq[:, :d]
+        gvel = grad[:, :d, :]                         # [q, i, j]
+        p = uq[:, d]
+        gp = grad[:, d, :]
+        K = jnp.einsum("qai,qbi->qab", Jinv, Jinv)
+        d2u = jnp.einsum("qnab,nc->qcab", H, ue[:, :d])
+        lap = jnp.einsum("qcab,qab->qc", d2u, K)      # [q, d]
+
+        udot = alpha0 * vel + jnp.einsum("qn,nd->qd", B, uprev_e)
+        conv = jnp.einsum("qij,qj->qi", gvel, vel)
+        r_m = udot + conv + gp - nu * lap - fq        # strong residual
+        div = jnp.einsum("qii->q", gvel)
+
+        # element size h (equivalent diameter / degree) and tau
+        vol = jnp.sum(scale)
+        if d == 2:
+            h = jnp.sqrt(4.0 * vol / math.pi) / degree
+        else:
+            h = jnp.cbrt(6.0 * vol / math.pi) / degree
+        umag2 = jnp.sum(vel * vel, axis=-1)
+        tau = 1.0 / jnp.sqrt(
+            sdt * sdt + 4.0 * umag2 / (h * h)
+            + 9.0 * (4.0 * nu / (h * h)) ** 2)
+        if stab.frozen_tau:
+            tau = jax.lax.stop_gradient(tau)
+
+        # weak-form coefficient fields (all pre-multiplied by detJ*w)
+        a_v = scale[:, None] * (udot + conv - fq)            # phi value
+        a_g = scale[:, None, None] * (
+            nu * gvel - p[:, None, None] * eye)              # d phi/dx
+        a_p = scale * div                                    # psi value
+        a_pg = jnp.zeros_like(gp)
+        if stab.pspg:
+            a_pg = a_pg + (scale * tau)[:, None] * r_m       # grad psi
+        if stab.supg:
+            a_g = a_g + (scale * tau)[:, None, None] * \
+                jnp.einsum("qi,qj->qij", r_m, vel)
+        if stab.lsic:
+            tau_l = 0.5 * jnp.sqrt(umag2) * h
+            a_g = a_g + (scale * tau_l * div)[:, None, None] * eye
+        a_lap = None
+        if stab.gls_viscous_adjoint:
+            a_lap = -(scale * tau * nu)[:, None] * r_m       # lap phi
+
+        # transpose contractions back to nodes
+        Rv = jnp.einsum("qn,qi->ni", B, a_v)
+        ag_ref = jnp.einsum("qij,qaj->qia", a_g, Jinv)
+        Rv = Rv + jnp.einsum("qna,qia->ni", G, ag_ref)
+        if a_lap is not None:
+            lap_phi = jnp.einsum("qnab,qab->qn", H, K)
+            Rv = Rv + jnp.einsum("qn,qi->ni", lap_phi, a_lap)
+        Rp = jnp.einsum("qn,q->n", B, a_p)
+        apg_ref = jnp.einsum("qj,qaj->qa", a_pg, Jinv)
+        Rp = Rp + jnp.einsum("qna,qa->n", G, apg_ref)
+        return jnp.concatenate([Rv, Rp[:, None]], axis=-1)
+
+    return element_residual
+
+
 class GLSOperator:
     """Device-resident matrix-free GLS Navier-Stokes operator.
 
@@ -92,88 +182,10 @@ class GLSOperator:
 
     # ------------------------------------------------------------------
     def _build_element_kernel(self):
-        B, G, H, w = self.B, self.G, self.H, self.w
-        d, nu, degree = self.dim, self.nu, self.degree
-        stab = self.stab
-        eye = jnp.eye(d, dtype=self.dtype)
-
-        def element_residual(ue, xe, uprev_e, fq, alpha0, sdt):
-            """Residual contribution of ONE element.
-
-            ue      [nn, d+1]  current element DoFs (u..., p)
-            xe      [nn, d]    element node coordinates
-            uprev_e [nn, d]    sum_i alpha_i u^{n-i} at element nodes
-            fq      [nq, d]    source term at quad points
-            alpha0  scalar     BDF weight of the unknown (0 for steady)
-            sdt     scalar     1/dt (0 for steady)
-            returns [nn, d+1]
-            """
-            # geometry at quad points
-            J = jnp.einsum("ni,qnj->qij", xe, G)          # dx/dxi
-            detJ, Jinv = det_and_inv(J)                   # Jinv = dxi/dx
-            scale = detJ * w                              # [nq]
-
-            # solution values / gradients / laplacians at quad points
-            uq = jnp.einsum("qn,nc->qc", B, ue)
-            du_dxi = jnp.einsum("qna,nc->qca", G, ue)
-            grad = jnp.einsum("qca,qai->qci", du_dxi, Jinv)
-            vel = uq[:, :d]
-            gvel = grad[:, :d, :]                         # [q, i, j]
-            p = uq[:, d]
-            gp = grad[:, d, :]
-            K = jnp.einsum("qai,qbi->qab", Jinv, Jinv)
-            d2u = jnp.einsum("qnab,nc->qcab", H, ue[:, :d])
-            lap = jnp.einsum("qcab,qab->qc", d2u, K)      # [q, d]
-
-            udot = alpha0 * vel + jnp.einsum("qn,nd->qd", B, uprev_e)
-            conv = jnp.einsum("qij,qj->qi", gvel, vel)
-            r_m = udot + conv + gp - nu * lap - fq        # strong residual
-            div = jnp.einsum("qii->q", gvel)
-
-            # element size h (equivalent diameter / degree) and tau
-            vol = jnp.sum(scale)
-            if d == 2:
-                h = jnp.sqrt(4.0 * vol / math.pi) / degree
-            else:
-                h = jnp.cbrt(6.0 * vol / math.pi) / degree
-            umag2 = jnp.sum(vel * vel, axis=-1)
-            tau = 1.0 / jnp.sqrt(
-                sdt * sdt + 4.0 * umag2 / (h * h)
-                + 9.0 * (4.0 * nu / (h * h)) ** 2)
-            if stab.frozen_tau:
-                tau = jax.lax.stop_gradient(tau)
-
-            # weak-form coefficient fields (all pre-multiplied by detJ*w)
-            a_v = scale[:, None] * (udot + conv - fq)            # phi value
-            a_g = scale[:, None, None] * (
-                nu * gvel - p[:, None, None] * eye)              # d phi/dx
-            a_p = scale * div                                    # psi value
-            a_pg = jnp.zeros_like(gp)
-            if stab.pspg:
-                a_pg = a_pg + (scale * tau)[:, None] * r_m       # grad psi
-            if stab.supg:
-                a_g = a_g + (scale * tau)[:, None, None] * \
-                    jnp.einsum("qi,qj->qij", r_m, vel)
-            if stab.lsic:
-                tau_l = 0.5 * jnp.sqrt(umag2) * h
-                a_g = a_g + (scale * tau_l * div)[:, None, None] * eye
-            a_lap = None
-            if stab.gls_viscous_adjoint:
-                a_lap = -(scale * tau * nu)[:, None] * r_m       # lap phi
-
-            # transpose contractions back to nodes
-            Rv = jnp.einsum("qn,qi->ni", B, a_v)
-            ag_ref = jnp.einsum("qij,qaj->qia", a_g, Jinv)
-            Rv = Rv + jnp.einsum("qna,qia->ni", G, ag_ref)
-            if a_lap is not None:
-                lap_phi = jnp.einsum("qnab,qab->qn", H, K)
-                Rv = Rv + jnp.einsum("qn,qi->ni", lap_phi, a_lap)
-            Rp = jnp.einsum("qn,q->n", B, a_p)
-            apg_ref = jnp.einsum("qj,qaj->qa", a_pg, Jinv)
-            Rp = Rp + jnp.einsum("qna,qa->n", G, apg_ref)
-            return jnp.concatenate([Rv, Rp[:, None]], axis=-1)
-
-        return element_residual
+        return make_element_kernel(
+            dim=self.dim, degree=self.degree, B=self.B, G=self.G,
+            H=self.H, w=self.w, nu=self.nu, stab=self.stab,
+            dtype=self.dtype)
 
     # ------------------------------------------------------------------
     def residual_free(self, u, uprev_combo, fq, alpha0, sdt):
