@@ -34,13 +34,18 @@ def main() -> int:
     if backend == "cpu":
         refine = min(refine, 5)
 
-    from softx_2020_200_tpu.fem.mesh import hyper_cube
+    from softx_2020_200_tpu.fem.mesh import subdivided_hyper_rectangle
     from softx_2020_200_tpu.fem.dof import FESpace
     from softx_2020_200_tpu.solvers.gls import GLSOperator
 
-    mesh = hyper_cube(0.0, 1.0, colorize=True, dim=3).refine_uniform(refine)
+    n = 2 ** refine
+    mesh = subdivided_hyper_rectangle([0.0] * 3, [1.0] * 3, [n] * 3,
+                                      colorize=True)
     space = FESpace(mesh, 1)
     op = GLSOperator(space, nu=0.01)
+    if backend != "cpu":
+        # fused Pallas element kernel + structured window gather/scatter
+        op.enable_pallas(structured=True)
     N, c = space.n_nodes, 4
     n_dofs = N * c
 
@@ -48,24 +53,27 @@ def main() -> int:
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal((N, c)) * 0.1, dtype)
     v = jnp.asarray(rng.standard_normal((N, c)), dtype)
-    mask = jnp.zeros((N, c), dtype=bool)
     prev = jnp.zeros((N, 3), dtype)
     fq = jnp.zeros_like(op.qpts_phys)
+    consts = op.consts()
 
-    def matvec(u, v):
-        f = lambda w: op.residual(w, mask, prev, fq, 0.0, 0.0)
+    # all large arrays as ARGUMENTS (not closures): closure arrays embed
+    # as HLO literals and wreck compile time at scale
+    def matvec(u, v, prev, fq, consts):
+        f = lambda w: op.residual_free(w, prev, fq, 0.0, 0.0, C=consts)
         return jax.jvp(f, (u,), (v,))[1]
 
     step = jax.jit(matvec)
-    out = step(u, v)
-    out.block_until_ready()
+    out = step(u, v, prev, fq, consts)
+    _ = float(jnp.sum(jnp.abs(out)))   # value fetch: forces completion
+    # (block_until_ready does not synchronize on the axon backend)
 
-    n_apps = 20
+    n_apps = 50
     t0 = time.perf_counter()
     w = v
     for _ in range(n_apps):
-        w = step(u, w)
-    w.block_until_ready()
+        w = step(u, w, prev, fq, consts)
+    _ = float(jnp.sum(jnp.abs(w)))
     dt = time.perf_counter() - t0
 
     gdofs = n_dofs * n_apps / dt / 1e9

@@ -109,6 +109,9 @@ class FEMParams:
     pressure_order: int = 1
     quadrature_points: int = 0   # 0 -> velocity_order + 1
     qmapping_all: bool = False   # curved mapping on all cells (vs boundary)
+    # operator implementation: auto = fused Pallas kernel on TPU, XLA
+    # elsewhere; 'pallas' / 'xla' force it
+    kernel: str = "auto"
 
     def parse(self, deck: ParameterDeck) -> None:
         d = deck.sub("FEM")
@@ -116,6 +119,7 @@ class FEMParams:
         self.pressure_order = d.get_int("pressure order", self.pressure_order)
         self.quadrature_points = d.get_int("quadrature points", self.quadrature_points)
         self.qmapping_all = d.get_bool("qmapping all", self.qmapping_all)
+        self.kernel = d.get_str("kernel", self.kernel)
 
     @property
     def n_quadrature_points_1d(self) -> int:

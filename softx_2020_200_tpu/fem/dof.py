@@ -46,6 +46,10 @@ class FESpace:
 
         corner_coords = mesh.vertices[mesh.cells]            # [E, 2^d, d]
         cell_nodes = place_nodes(mesh, corner_coords, self.basis.nodes)
+        # physical per-element coordinates BEFORE any periodic fusion:
+        # wrap elements must keep their true geometry (the fused master
+        # node lives on the other side of the domain)
+        self._cell_coords = cell_nodes
         tol = _mesh_tolerance(mesh.vertices, mesh.cells) / max(1, degree)
         flat = cell_nodes.reshape(-1, dim)
         nodes, inverse = _dedup_nodes(flat, tol)
@@ -111,8 +115,9 @@ class FESpace:
         return self.n_nodes * n_components
 
     def element_coords(self) -> np.ndarray:
-        """[E, nn, dim] physical coordinates of every element's nodes."""
-        return self.nodes[self.elem_nodes]
+        """[E, nn, dim] physical coordinates of every element's nodes
+        (pre-fusion: correct wrap-element geometry on periodic meshes)."""
+        return self._cell_coords
 
     def all_boundary_nodes(self) -> np.ndarray:
         if not self.boundary_nodes:

@@ -39,6 +39,9 @@ class Mesh:
     boundary_manifolds: dict[int, Manifold] = field(default_factory=dict)
     # declared periodic identifications: (bid_a, bid_b, axis)
     periodic: list[tuple[int, int, int]] = field(default_factory=list)
+    # element-lattice dims when the mesh is a logically-Cartesian block
+    # (enables the structured fast path in ops/structured.py)
+    structured_shape: tuple | None = None
 
     @property
     def n_cells(self) -> int:
@@ -275,7 +278,8 @@ def subdivided_hyper_rectangle(p0, p1, subdivisions, colorize: bool = True,
             if cell_idx[d] == subs[d] - 1:
                 faces.append((en, 2 * d + 1, 2 * d + 1 if colorize else 0))
     return Mesh(dim=dim, vertices=pts, cells=cells,
-                boundary_faces=np.asarray(faces, dtype=np.int64).reshape(-1, 3))
+                boundary_faces=np.asarray(faces, dtype=np.int64).reshape(-1, 3),
+                structured_shape=tuple(int(s) for s in subs))
 
 
 def hyper_cube(left: float = 0.0, right: float = 1.0, colorize: bool = False,
@@ -394,12 +398,19 @@ def generate_mesh(grid_type: str, grid_arguments: str, dim: int,
         left, right = (float(args[0]), float(args[1])) if len(args) >= 2 \
             else (0.0, 1.0)
         colorize = _bool(args[2]) if len(args) >= 3 else False
-        mesh = hyper_cube(left, right, colorize, dim=dim)
+        # structured blocks refine by regeneration (keeps the lattice
+        # metadata and the fast path alive)
+        subs = 2 ** initial_refinement
+        mesh = subdivided_hyper_rectangle([left] * dim, [right] * dim,
+                                          [subs] * dim, colorize, dim=dim)
+        initial_refinement = 0
     elif gt == "subdivided_hyper_rectangle":
         subs = _ints(args[0])
         p0 = _floats(args[1])
         p1 = _floats(args[2])
         colorize = _bool(args[3]) if len(args) >= 4 else False
+        subs = [s * 2 ** initial_refinement for s in subs]
+        initial_refinement = 0
         mesh = subdivided_hyper_rectangle(p0, p1, subs, colorize, dim=dim)
     elif gt == "hyper_shell":
         center = _floats(args[0])

@@ -36,11 +36,11 @@ class Preconditioner:
 
 
 def build_jacobi(A_e, elem_nodes, n_nodes: int, nn: int, nc: int,
-                 bc_mask=None) -> Preconditioner:
+                 bc_mask=None, amap=None) -> Preconditioner:
     """Pointwise diagonal: scatter-add local diagonals, invert."""
     E = A_e.shape[0]
     diag_local = jnp.diagonal(A_e, axis1=1, axis2=2).reshape(E, nn, nc)
-    diag = scatter_add_elements(diag_local, elem_nodes, n_nodes)
+    diag = scatter_add_elements(diag_local, elem_nodes, n_nodes, amap=amap)
     if bc_mask is not None:
         # constrained rows accumulated one identity per adjacent element;
         # reset to exactly 1 so the preconditioner is the identity there
@@ -54,13 +54,14 @@ def build_jacobi(A_e, elem_nodes, n_nodes: int, nn: int, nc: int,
 
 
 def build_block_jacobi(A_e, elem_nodes, n_nodes: int, nn: int, nc: int,
-                       bc_mask=None) -> Preconditioner:
+                       bc_mask=None, amap=None) -> Preconditioner:
     """Per-node (d+1)x(d+1) diagonal blocks, batched-inverted."""
     E = A_e.shape[0]
     A4 = A_e.reshape(E, nn, nc, nn, nc)
     blocks_local = _node_diag_blocks(A4)            # [E, nn, c, c]
-    blocks = jnp.zeros((n_nodes, nc, nc), dtype=A_e.dtype)
-    blocks = blocks.at[elem_nodes].add(blocks_local)
+    blocks = scatter_add_elements(
+        blocks_local.reshape(E, nn, nc * nc), elem_nodes, n_nodes,
+        amap=amap).reshape(n_nodes, nc, nc)
     if bc_mask is not None:
         # normalize constrained rows/cols to identity
         mrow = bc_mask.astype(A_e.dtype)
@@ -118,12 +119,35 @@ def build_additive_schwarz(A_e, elem_nodes, n_nodes: int, nn: int, nc: int,
     return Preconditioner(apply=apply)
 
 
-def build_preconditioner(kind: str, A_e, elem_nodes, n_nodes, nn, nc,
-                         inv_mult=None, bc_mask=None) -> Preconditioner:
+def build_from_node_blocks(kind: str, blocks, bc_mask) -> Preconditioner:
+    """Jacobi / block-Jacobi from pre-assembled node-diagonal blocks
+    [N, c, c] (the batch-minor fast path: GLSOperator.node_blocks).
+    Constrained rows/cols arrive zeroed; they become identity here."""
+    nc = blocks.shape[-1]
+    eye = jnp.eye(nc, dtype=blocks.dtype)
+    if bc_mask is not None:
+        mrow = bc_mask.astype(blocks.dtype)
+        blocks = blocks + jnp.einsum("ni,ij->nij", mrow, eye)
     if kind == "jacobi":
-        return build_jacobi(A_e, elem_nodes, n_nodes, nn, nc, bc_mask)
+        diag = jnp.diagonal(blocks, axis1=1, axis2=2)
+        diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+        return Preconditioner(apply=lambda v: v / diag)
+    degenerate = jnp.abs(jnp.linalg.det(blocks)) < 1e-300
+    blocks = jnp.where(degenerate[:, None, None], eye[None], blocks)
+    binv = jnp.linalg.inv(blocks)
+    return Preconditioner(
+        apply=lambda v: jnp.einsum("nij,nj->ni", binv, v))
+
+
+def build_preconditioner(kind: str, A_e, elem_nodes, n_nodes, nn, nc,
+                         inv_mult=None, bc_mask=None,
+                         amap=None) -> Preconditioner:
+    if kind == "jacobi":
+        return build_jacobi(A_e, elem_nodes, n_nodes, nn, nc, bc_mask,
+                            amap=amap)
     if kind == "block_jacobi":
-        return build_block_jacobi(A_e, elem_nodes, n_nodes, nn, nc, bc_mask)
+        return build_block_jacobi(A_e, elem_nodes, n_nodes, nn, nc, bc_mask,
+                                  amap=amap)
     if kind == "additive_schwarz":
         return build_additive_schwarz(A_e, elem_nodes, n_nodes, nn, nc,
                                       inv_mult, bc_mask)

@@ -1,0 +1,167 @@
+"""Structured-block gather/scatter: strided slices instead of gathers.
+
+On logically-Cartesian blocks (every generator mesh except shells), the
+element-node gather is a set of STRIDED WINDOW READS of the node grid and
+the assembly scatter is a set of overlapping strided window ADDS — no
+random access anywhere.  XLA fuses the slice reads; the adds are nn
+dynamic-update fusions.  This replaces the ~10 ms XLA gathers of the
+general path with ~bandwidth-cost ops (the p4est analogue would be the
+reference exploiting structure it never had — pure TPU-side win).
+
+Key facts this module relies on (asserted at build):
+- FESpace node numbering equals C-order of the node lattice
+  [m0, m1(, m2)] (the coordinate-sorted dedup guarantees it for
+  axis-aligned rectangles);
+- basis node ordering is lexicographic with axis 0 FASTEST
+  (n = i0 + n1d*i1 + n1d^2*i2);
+- this path's element ordering is C-order of the ELEMENT lattice
+  (axis (dim-1) fastest) — the Pallas kernel is elementwise in E, so it
+  never notices; assembled outputs land in global numbering regardless.
+
+Periodic axes are handled by halo extension: one concat before gather,
+one fold-back add after scatter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class StructuredLayout:
+    def __init__(self, space, periodic_axes: tuple[bool, ...] | None = None):
+        mesh = space.mesh
+        if mesh.structured_shape is None:
+            raise ValueError("mesh is not a structured block")
+        self.dim = space.dim
+        self.degree = k = space.degree
+        self.ne = tuple(int(x) for x in mesh.structured_shape)
+        if periodic_axes is None:
+            periodic_axes = tuple(
+                any(pax == a for (_, _, pax) in mesh.periodic)
+                for a in range(self.dim))
+        self.periodic = periodic_axes
+        # node lattice dims (slaves removed on periodic axes)
+        self.m = tuple(k * n + (0 if p else 1)
+                       for n, p in zip(self.ne, self.periodic))
+        self.n1d = k + 1
+        self.nn = self.n1d ** self.dim
+        N = int(np.prod(self.m))
+        if N != space.n_nodes:
+            raise ValueError(
+                f"structured lattice {self.m} ({N}) != n_nodes "
+                f"{space.n_nodes}")
+        # verify the numbering really is lattice C-order
+        probe = np.linspace(0, space.n_nodes - 1, 7).astype(int)
+        grid_coords = space.nodes.reshape(*self.m, self.dim)
+        # axis monotonicity spot-check
+        for a in range(self.dim):
+            sl = [0] * self.dim
+            sl[a] = slice(None)
+            line = grid_coords[tuple(sl)][:, a]
+            if not np.all(np.diff(line) > 0):
+                raise ValueError("node numbering is not lattice C-order")
+
+        self.E = int(np.prod(self.ne))
+        # node coordinate grid (host) for element-coords extraction
+        self._nodes_grid = space.nodes.reshape(*self.m, self.dim)
+
+    # ------------------------------------------------------------------
+    def _extend(self, g):
+        """Append the wrapped halo layer on periodic axes: [m] -> [k*ne+1]."""
+        k = self.degree
+        for a in range(self.dim):
+            if self.periodic[a]:
+                head = jnp.take(g, jnp.arange(k), axis=a)
+                g = jnp.concatenate([g, head], axis=a)
+        return g
+
+    def _window(self, g_ext, offsets):
+        """Strided window read for local node `offsets`: -> [*ne, ...]."""
+        k = self.degree
+        idx = []
+        for a in range(self.dim):
+            start = offsets[a]
+            stop = start + k * (self.ne[a] - 1) + 1
+            idx.append(slice(start, stop, k))
+        return g_ext[tuple(idx)]
+
+    # ------------------------------------------------------------------
+    def gather_rows_list(self, u):
+        """u [N, c] -> list over (n, comp) of [E] arrays, node-major.
+
+        Row order matches the Pallas kernel: row = n * c + comp with n in
+        axis0-fastest lexicographic order.
+        """
+        c = u.shape[-1]
+        g = self._extend(u.reshape(*self.m, c))
+        rows = []
+        for n in range(self.nn):
+            offs = []
+            rem = n
+            for a in range(self.dim):
+                offs.append(rem % self.n1d)
+                rem //= self.n1d
+            win = self._window(g, offs).reshape(self.E, c)
+            for i in range(c):
+                rows.append(win[:, i])
+        return rows
+
+    def scatter_rows_list(self, rows, c):
+        """Inverse: list of nn*c [E] arrays -> assembled [N, c]."""
+        k = self.degree
+        ext_shape = tuple(k * n + 1 if p else m
+                          for n, m, p in zip(self.ne, self.m,
+                                             self.periodic))
+        R = jnp.zeros(ext_shape + (c,), rows[0].dtype)
+        for n in range(self.nn):
+            offs = []
+            rem = n
+            for a in range(self.dim):
+                offs.append(rem % self.n1d)
+                rem //= self.n1d
+            idx = tuple(slice(offs[a], offs[a] + k * (self.ne[a] - 1) + 1, k)
+                        for a in range(self.dim))
+            blk = jnp.stack([rows[n * c + i] for i in range(c)],
+                            axis=-1).reshape(*self.ne, c)
+            R = R.at[idx].add(blk)
+        # fold periodic halos back
+        for a in range(self.dim):
+            if self.periodic[a]:
+                m = self.m[a]
+                head = jnp.take(R, jnp.arange(m, R.shape[a]), axis=a)
+                R = jnp.take(R, jnp.arange(m), axis=a)
+                R = R.at[tuple([slice(None)] * a + [slice(0, k)])].add(head)
+        return R.reshape(-1, c)
+
+    # ------------------------------------------------------------------
+    def elem_coords_grid_order(self):
+        """[E, nn, dim] element node coordinates in THIS path's element
+        ordering (element-lattice C-order), host-side."""
+        g = self._nodes_grid
+        k = self.degree
+        # extend host-side for periodic axes
+        for a in range(self.dim):
+            if self.periodic[a]:
+                head = np.take(g, np.arange(k), axis=a)
+                # wrapped coordinates: shift by the period so the halo
+                # layer sits geometrically beyond the last plane
+                lo = np.take(g, [0], axis=a)
+                hi_span = (np.take(g, [g.shape[a] - 1], axis=a) - lo)
+                # period length = span + spacing of the removed layer;
+                # infer from the first spacing
+                d0 = (np.take(g, [1], axis=a) - lo)
+                period = hi_span + d0
+                head = head + period
+                g = np.concatenate([g, head], axis=a)
+        out = np.zeros((self.E, self.nn, self.dim))
+        for n in range(self.nn):
+            offs = []
+            rem = n
+            for a in range(self.dim):
+                offs.append(rem % self.n1d)
+                rem //= self.n1d
+            idx = tuple(slice(offs[a], offs[a] + k * (self.ne[a] - 1) + 1, k)
+                        for a in range(self.dim))
+            out[:, n, :] = g[idx].reshape(self.E, self.dim)
+        return out

@@ -55,6 +55,9 @@ class ShardLayout:
     xe: np.ndarray          # [P, E_loc, nn, dim]
     owned_mask: np.ndarray  # [P, N_loc] float (1 = owned real node)
     l2g: np.ndarray         # [P, N_loc] int64 (-1 = unused/trash)
+    # gather-based assembly maps (ops.operators.AssemblyMap per shard,
+    # padded to a common multiplicity): [P, N_loc, M] into [E_loc*nn (+1)]
+    assembly_idx: np.ndarray = None  # type: ignore[assignment]
     exchanges: list[Exchange] = field(default_factory=list)
 
     # ------------------------------------------------------------------
@@ -159,8 +162,21 @@ def partition_space(space, n_shards: int) -> ShardLayout:
         exchanges.append(Exchange(delta=delta, send_idx=send_idx,
                                   recv_idx=recv_idx, valid=valid))
 
+    # per-shard gather-based assembly maps (exclude the trash slot),
+    # padded to a common max multiplicity across shards
+    from ..ops.operators import build_assembly_map
+    amaps = [build_assembly_map(en_loc[p], N_loc, exclude_node=trash)
+             for p in range(P)]
+    M = max(a.max_multiplicity for a in amaps)
+    pad = E_loc * nn
+    assembly_idx = np.full((P, N_loc, M), pad, dtype=np.int32)
+    for p, a in enumerate(amaps):
+        ai = np.asarray(a.idx)
+        assembly_idx[p, :, :ai.shape[1]] = ai
+
     return ShardLayout(
         n_shards=P, dim=dim, degree=space.degree,
         n_nodes_global=space.n_nodes, N_loc=N_loc, E_loc=E_loc, nn=nn,
         elem_nodes=en_loc, elem_valid=ev, xe=xe,
-        owned_mask=owned_mask, l2g=l2g, exchanges=exchanges)
+        owned_mask=owned_mask, l2g=l2g, assembly_idx=assembly_idx,
+        exchanges=exchanges)

@@ -82,6 +82,7 @@ class ShardedGLSSolver:
         self.c_elem_valid = jnp.asarray(L.elem_valid, dtype)
         self.c_xe = jnp.asarray(L.xe, dtype)
         self.c_owned = jnp.asarray(L.owned_mask, dtype)
+        self.c_amap = jnp.asarray(L.assembly_idx)          # [P,N,M] i32
         self.c_send = [jnp.asarray(ex.send_idx) for ex in L.exchanges]
         self.c_recv = [jnp.asarray(ex.recv_idx) for ex in L.exchanges]
         self.c_deltas = [ex.delta for ex in L.exchanges]
@@ -103,7 +104,16 @@ class ShardedGLSSolver:
             return [(i, (i + delta) % Pn) for i in range(Pn)]
 
         def make_local_fns(consts):
-            (elem_nodes, elem_valid, xe, owned, sends, recvs) = consts
+            (elem_nodes, elem_valid, xe, owned, amap_idx,
+             sends, recvs) = consts
+
+            def assemble(r_el):
+                """Gather-based assembly (TPU-fast; see ops.operators)."""
+                c = r_el.shape[-1]
+                flat = r_el.reshape(-1, c)
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((1, c), flat.dtype)], axis=0)
+                return jnp.sum(flat[amap_idx], axis=1)
 
             def zero_trash(a):
                 return a.at[trash].set(0.0)
@@ -132,7 +142,7 @@ class ShardedGLSSolver:
                 r_el = jax.vmap(kernel, in_axes=(0, 0, 0, 0, None, None))(
                     ue, xe, upe, fq, alpha0, sdt)
                 r_el = r_el * elem_valid[:, None, None]
-                r = jnp.zeros_like(u).at[elem_nodes].add(r_el)
+                r = assemble(r_el)
                 r = combine(r)
                 r = r * owned[:, None]
                 return jnp.where(bc_mask, 0.0, r)
@@ -157,11 +167,8 @@ class ShardedGLSSolver:
                     jnp.eye(nloc, dtype=u.dtype))
                 blocks_local = _node_diag_blocks(
                     A.reshape(E, nn, nc, nn, nc))
-                blocks = jnp.zeros((u.shape[0], nc, nc), u.dtype)
-                blocks = blocks.at[elem_nodes].add(blocks_local)
-                blocks = combine(
-                    blocks.reshape(u.shape[0], nc * nc)
-                ).reshape(u.shape[0], nc, nc)
+                blocks = assemble(blocks_local.reshape(E, nn, nc * nc))
+                blocks = combine(blocks).reshape(u.shape[0], nc, nc)
                 eye = jnp.eye(nc, dtype=u.dtype)
                 # unowned/trash/degenerate slots act as identity
                 deg = (jnp.abs(jnp.linalg.det(blocks)) < 1e-300) | \
@@ -185,9 +192,9 @@ class ShardedGLSSolver:
                 a[0] for a in (u, bc_mask, bc_vals, uprev, fq))
             consts_flat = [a[0] for a in consts_flat]
             consts = (consts_flat[0], consts_flat[1], consts_flat[2],
-                      consts_flat[3],
-                      list(consts_flat[4:4 + len(deltas)]),
-                      list(consts_flat[4 + len(deltas):4 + 2 * len(deltas)]))
+                      consts_flat[3], consts_flat[4],
+                      list(consts_flat[5:5 + len(deltas)]),
+                      list(consts_flat[5 + len(deltas):5 + 2 * len(deltas)]))
             residual, precond_builder, refresh = make_local_fns(consts)
             reduce_fn = partial(lax.psum, axis_name=AXIS)
 
@@ -205,7 +212,7 @@ class ShardedGLSSolver:
             local_step, self.mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                       P(), P())
-            + tuple([P(AXIS)] * (4 + 2 * len(deltas))),
+            + tuple([P(AXIS)] * (5 + 2 * len(deltas))),
             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)))
 
         def step(u_stack, mask_stack, vals_stack, prev_stack, fq_stack,
@@ -213,7 +220,7 @@ class ShardedGLSSolver:
             return sharded(u_stack, mask_stack, vals_stack, prev_stack,
                            fq_stack, alpha0, sdt,
                            self.c_elem_nodes, self.c_elem_valid,
-                           self.c_xe, self.c_owned,
+                           self.c_xe, self.c_owned, self.c_amap,
                            *self.c_send, *self.c_recv)
 
         return step

@@ -37,7 +37,7 @@ from .gls import GLSOperator, StabFlags
 from .boundary import BoundaryHandler
 from .newton import newton_solve, NewtonConfig
 from .analytical import l2_error
-from ..ops.preconditioners import build_preconditioner
+from ..ops.preconditioners import build_preconditioner, build_from_node_blocks
 from ..core.timer import SectionTimer
 from ..utils.tables import Table
 from ..utils.vtu import write_vtu, subcell_connectivity
@@ -94,6 +94,11 @@ class GLSNavierStokesSolver:
         self.op = GLSOperator(
             self.space, prm.physical_properties.kinematic_viscosity,
             n_q1d=prm.fem.n_quadrature_points_1d, stab=stab)
+        use_pallas = (prm.fem.kernel == "pallas"
+                      or (prm.fem.kernel == "auto"
+                          and jax.default_backend() == "tpu"))
+        if use_pallas:
+            self.op.enable_pallas()
         self.bh = BoundaryHandler(self.space, prm.boundary_conditions)
 
         self.source = (VectorExpression(prm.source_term.xyz)
@@ -128,31 +133,48 @@ class GLSNavierStokesSolver:
 
         self._solve_jit = jax.jit(self._solve_impl)
         self._zero_prev = jnp.zeros((self.space.n_nodes, self.dim))
+        # all large arrays reach the jitted solve as ARGUMENTS (XLA embeds
+        # closure arrays as literals -> O(N) HLO text, catastrophic
+        # compile times at scale)
+        self._consts = dict(self.op.consts())
+        self._consts["bc_mask"] = self.bh.mask
+        self._consts["nodes"] = self.bh.node_coords
+        if getattr(self.op, "qpts_grid", None) is not None:
+            # structured Pallas path: sources evaluated in grid order
+            self._consts["qpts_phys"] = self.op.qpts_grid
 
     # ------------------------------------------------------------------
-    def _source_at(self, t):
+    def _source_at(self, t, qpts=None):
+        qpts = qpts if qpts is not None else self.op.qpts_phys
         if self._mms_source is not None:
-            return self._mms_source(self.op.qpts_phys, t)
+            return self._mms_source(qpts, t)
         if self.source is None:
-            return jnp.zeros_like(self.op.qpts_phys)
-        f = self.source.spatial(self.op.qpts_phys, t)
+            return jnp.zeros_like(qpts)
+        f = self.source.spatial(qpts, t)
         return f[..., :self.dim]
 
-    def _solve_impl(self, u0, uprev_combo, t, alpha0, sdt):
-        """One nonlinear solve (steady: alpha0=sdt=0). Fully jitted."""
+    def _solve_impl(self, u0, uprev_combo, t, alpha0, sdt, C):
+        """One nonlinear solve (steady: alpha0=sdt=0). Fully jitted;
+        C carries every large constant array (see setup())."""
         op, bh = self.op, self.bh
-        mask = bh.mask
-        u0 = bh.constrain(u0, t)
-        fq = self._source_at(t)
+        mask = C["bc_mask"]
+        u0 = bh.constrain(u0, t, mask=mask, node_coords=C["nodes"])
+        fq = self._source_at(t, qpts=C["qpts_phys"])
 
         def residual(u):
-            return op.residual(u, mask, uprev_combo, fq, alpha0, sdt)
+            return op.residual(u, mask, uprev_combo, fq, alpha0, sdt, C=C)
 
         def precond_builder(u):
+            if self.precond_kind in ("jacobi", "block_jacobi"):
+                blocks = op.node_blocks(u, mask, uprev_combo, fq,
+                                        alpha0, sdt, C=C)
+                return build_from_node_blocks(
+                    self.precond_kind, blocks, mask).apply
             A_e = op.element_matrices(u, mask, uprev_combo, fq, alpha0, sdt)
             P = build_preconditioner(
-                self.precond_kind, A_e, op.elem_nodes, op.n_nodes,
-                op.nn, op.nc, inv_mult=op.inv_mult, bc_mask=mask)
+                self.precond_kind, A_e, C["elem_nodes"], op.n_nodes,
+                op.nn, op.nc, inv_mult=op.inv_mult, bc_mask=mask,
+                amap=op.amap)
             return P.apply
 
         return newton_solve(residual, u0, precond_builder=precond_builder,
@@ -180,7 +202,8 @@ class GLSNavierStokesSolver:
                                   stab=op_run.stab)
             self._solve_jit = jax.jit(self._solve_impl)
             res = self._solve_jit(self.bh.constrain(u, 0.0),
-                                  self._zero_prev, 0.0, 0.0, 0.0)
+                                  self._zero_prev, 0.0, 0.0, 0.0,
+                                  self._consts)
             u = res.u
             self.op = op_run
             self._solve_jit = jax.jit(self._solve_impl)
@@ -191,7 +214,8 @@ class GLSNavierStokesSolver:
         """One steady Newton solve; returns (u, NewtonResult)."""
         if u0 is None:
             u0 = self.initial_condition()
-        res = self._solve_jit(u0, self._zero_prev, 0.0, 0.0, 0.0)
+        res = self._solve_jit(u0, self._zero_prev, 0.0, 0.0, 0.0,
+                              self._consts)
         self._log_newton(res, verbose)
         return res.u, res
 
@@ -207,7 +231,7 @@ class GLSNavierStokesSolver:
         for i in range(1, order + 1):
             combo = combo + alpha[i] * previous[i - 1][:, :self.dim]
         res = self._solve_jit(u, combo, t, float(alpha[0]),
-                              1.0 / float(dts[0]))
+                              1.0 / float(dts[0]), self._consts)
         self._log_newton(res, verbose)
         return res.u, res
 

@@ -75,18 +75,24 @@ class BoundaryHandler:
         return axes.pop()
 
     # ------------------------------------------------------------------
-    def values(self, t=0.0):
-        """Dirichlet value field [N, c] at time t (traceable)."""
+    def values(self, t=0.0, node_coords=None):
+        """Dirichlet value field [N, c] at time t (traceable).
+
+        ``node_coords`` lets jitted callers pass the coordinates as an
+        argument instead of a closure constant (compile-size hygiene).
+        """
         dim = self.space.dim
+        coords = node_coords if node_coords is not None else self.node_coords
         vals = jnp.zeros((self.space.n_nodes, dim + 1),
-                         dtype=self.node_coords.dtype)
+                         dtype=coords.dtype)
         for nodes, exprs in self.function_entries:
-            pts = self.node_coords[nodes]
+            pts = coords[nodes]
             for c, e in enumerate(exprs):
                 vals = vals.at[nodes, c].set(
                     e.spatial(pts, t).astype(vals.dtype))
         return vals
 
-    def constrain(self, u, t=0.0):
+    def constrain(self, u, t=0.0, mask=None, node_coords=None):
         """Impose Dirichlet values on the solution (nonzero constraints)."""
-        return jnp.where(self.mask, self.values(t), u)
+        mask = mask if mask is not None else self.mask
+        return jnp.where(mask, self.values(t, node_coords), u)

@@ -40,7 +40,8 @@ import numpy as np
 from ..fem.dof import FESpace
 from ..fem.geometry import det_and_inv
 from ..ops.operators import (
-    gather_elements, scatter_add_elements, node_multiplicity)
+    gather_elements, scatter_add_elements, node_multiplicity,
+    build_assembly_map)
 
 
 @dataclass(frozen=True)
@@ -174,11 +175,21 @@ class GLSOperator:
         self.nn = space.basis.n_nodes
         mult = node_multiplicity(space.elem_nodes, space.n_nodes)
         self.inv_mult = jnp.asarray(1.0 / mult, dtype)
+        # gather-based assembly (TPU: scatter-add serializes; see ops)
+        self.amap = build_assembly_map(space.elem_nodes, space.n_nodes)
 
         # physical quad-point coordinates (for source / error evaluation)
         self.qpts_phys = jnp.einsum("qn,end->eqd", self.B, self.xe)
 
         self._elem_residual = self._build_element_kernel()
+
+        # batch-minor (SoA) compute path: the TPU-fast layout (see
+        # ops/batched_kernel.py); xe pre-transposed once
+        from ..ops.batched_kernel import make_batched_kernel
+        self._batched_kernel = make_batched_kernel(
+            dim=self.dim, degree=self.degree, B=B, G=G, H=H, w=wts,
+            nu=self.nu, stab=self.stab, dtype=dtype)
+        self.xe_soa = jnp.transpose(self.xe, (1, 2, 0))   # [nn, d, E]
 
     # ------------------------------------------------------------------
     def _build_element_kernel(self):
@@ -188,20 +199,149 @@ class GLSOperator:
             dtype=self.dtype)
 
     # ------------------------------------------------------------------
-    def residual_free(self, u, uprev_combo, fq, alpha0, sdt):
-        """Unconstrained residual R(u): [N, d+1] -> [N, d+1]."""
-        ue = gather_elements(u, self.elem_nodes)
-        upe = gather_elements(uprev_combo, self.elem_nodes)
-        r_el = jax.vmap(self._elem_residual,
-                        in_axes=(0, 0, 0, 0, None, None))(
-            ue, self.xe, upe, fq, alpha0, sdt)
-        return scatter_add_elements(r_el, self.elem_nodes, self.n_nodes)
+    # Large arrays must reach jitted code as ARGUMENTS, not closures:
+    # XLA embeds closed-over arrays as literals in the module (O(N) HLO
+    # text) which breaks compile time at scale.  ``consts()`` is the
+    # pytree every jitted entry point threads through.
+    # ------------------------------------------------------------------
+    def consts(self):
+        return {
+            "xe_soa": self.xe_soa,
+            "elem_nodes": self.elem_nodes,
+            "amap_idx": self.amap.idx,
+            "qpts_phys": self.qpts_phys,
+        }
 
-    def residual(self, u, bc_mask, uprev_combo, fq, alpha0, sdt):
+    def _assemble(self, r_el, C):
+        c = r_el.shape[-1]
+        flat = r_el.reshape(-1, c)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((1, c), flat.dtype)], axis=0)
+        return jnp.sum(flat[C["amap_idx"]], axis=1)
+
+    def residual_free(self, u, uprev_combo, fq, alpha0, sdt, C=None):
+        """Unconstrained residual R(u): [N, d+1] -> [N, d+1]."""
+        C = C if C is not None else self.consts()
+        en = C["elem_nodes"]
+        ue = gather_elements(u, en)
+        upe = gather_elements(uprev_combo, en)
+        r = self._batched_kernel(
+            jnp.transpose(ue, (1, 2, 0)), C["xe_soa"],
+            jnp.transpose(upe, (1, 2, 0)),
+            jnp.transpose(fq, (1, 2, 0)), alpha0, sdt)
+        r_el = jnp.transpose(r, (2, 0, 1))
+        return self._assemble(r_el, C)
+
+    def node_blocks(self, u, bc_mask, uprev_combo, fq, alpha0, sdt,
+                    C=None):
+        """Assembled per-node (d+1)x(d+1) Jacobian diagonal blocks [N,c,c]
+        for block-Jacobi preconditioning — via jvp probes of the batched
+        kernel (nn*c kernel evaluations, not E jacfwds)."""
+        from ..ops.batched_kernel import node_blocks_batched
+        C = C if C is not None else self.consts()
+        en = C["elem_nodes"]
+        ue = gather_elements(u, en)
+        upe = gather_elements(uprev_combo, en)
+        blocks_el = node_blocks_batched(
+            self._batched_kernel, jnp.transpose(ue, (1, 2, 0)),
+            C["xe_soa"], jnp.transpose(upe, (1, 2, 0)),
+            jnp.transpose(fq, (1, 2, 0)), alpha0, sdt)   # [E, nn, c, c]
+        E = blocks_el.shape[0]
+        me = gather_elements(bc_mask.astype(self.dtype), en)
+        keep = 1.0 - me                                  # [E, nn, c]
+        blocks_el = blocks_el * keep[..., :, None] * keep[..., None, :]
+        blocks = self._assemble(
+            blocks_el.reshape(E, self.nn, self.nc * self.nc), C)
+        return blocks.reshape(self.n_nodes, self.nc, self.nc)
+
+    def residual(self, u, bc_mask, uprev_combo, fq, alpha0, sdt, C=None):
         """Constrained residual: zero at Dirichlet DoFs (the Newton update
         there is pinned by the identity rows of the Jacobian)."""
-        R = self.residual_free(u, uprev_combo, fq, alpha0, sdt)
+        R = self.residual_free(u, uprev_combo, fq, alpha0, sdt, C=C)
         return jnp.where(bc_mask, 0.0, R)
+
+    # ------------------------------------------------------------------
+    def enable_pallas(self, interpret: bool = False,
+                      structured: bool | None = None):
+        """Switch residual_free to the fused Pallas element kernel
+        (ops/pallas_gls.py): one launch for the whole element physics,
+        custom_jvp tangent = frozen-tau linearized form (the reference's
+        Newton Jacobian).
+
+        With ``structured`` (auto-detected from the mesh) the gather and
+        assembly become strided window slices/adds on the node lattice
+        (ops/structured.py) — no random-access gathers at all.  Otherwise
+        they stay XLA gather ops.
+        """
+        from ..ops.pallas_gls import PallasGLS
+        n_q1d = int(round(self.n_q ** (1 / self.dim)))
+        if structured is None:
+            structured = self.space.mesh.structured_shape is not None
+        nn, nc, E = self.nn, self.nc, self.space.n_elements
+
+        if structured:
+            from ..ops.structured import StructuredLayout
+            sl = StructuredLayout(self.space)
+            self._structured = sl
+            xe_grid = sl.elem_coords_grid_order()
+            pg = PallasGLS(self.space, self.nu, n_q1d=n_q1d,
+                           supg=self.stab.supg, pspg=self.stab.pspg,
+                           gls_adjoint=self.stab.gls_viscous_adjoint,
+                           lsic=self.stab.lsic, dtype=self.dtype,
+                           interpret=interpret, elem_coords=xe_grid)
+            self._pallas = pg
+            # quad-point coordinates in GRID element order: sources and
+            # MMS forcing evaluated on this path must use these
+            import numpy as _np
+            pts, wts, B, _, _ = self.space.basis.quadrature(n_q1d)
+            self.qpts_grid = jnp.asarray(
+                _np.einsum("qn,end->eqd", B, xe_grid), self.dtype)
+
+            def rows_from_list(lst):
+                arr = jnp.stack(lst, axis=0)          # [rows, E]
+                pad = pg.Ep - arr.shape[1]
+                if pad:
+                    arr = jnp.concatenate(
+                        [arr, jnp.zeros((arr.shape[0], pad), arr.dtype)],
+                        axis=1)
+                from ..ops.pallas_gls import S as _S, L as _L
+                return arr.reshape(arr.shape[0], pg.Eg, _S, _L)
+
+            def residual_free(u, uprev_combo, fq, alpha0, sdt, C=None):
+                ue2 = rows_from_list(sl.gather_rows_list(u))
+                up2 = rows_from_list(sl.gather_rows_list(uprev_combo))
+                # fq arrives in GRID element order ([E, nq, d], see
+                # qpts_grid); row (q*d + i) = fq[:, q, i]
+                fq2 = rows_from_list(
+                    [fq[:, q, i] for q in range(self.n_q)
+                     for i in range(self.dim)])
+                r2 = pg.residual_rows(ue2, up2, fq2, alpha0, sdt)
+                flat = r2.reshape(r2.shape[0], pg.Ep)[:, :E]
+                rows = [flat[i] for i in range(r2.shape[0])]
+                return sl.scatter_rows_list(rows, nc)
+
+            self.residual_free = residual_free
+            return self
+
+        pg = PallasGLS(self.space, self.nu, n_q1d=n_q1d,
+                       supg=self.stab.supg, pspg=self.stab.pspg,
+                       gls_adjoint=self.stab.gls_viscous_adjoint,
+                       lsic=self.stab.lsic, dtype=self.dtype,
+                       interpret=interpret)
+        self._pallas = pg
+
+        def residual_free(u, uprev_combo, fq, alpha0, sdt, C=None):
+            C = C if C is not None else self.consts()
+            en = C["elem_nodes"]
+            ue2 = pg.to_rows(u[en])
+            up2 = pg.to_rows(uprev_combo[en])
+            fq2 = pg.to_rows(fq)
+            r2 = pg.residual_rows(ue2, up2, fq2, alpha0, sdt)
+            r_el = pg.from_rows(r2).reshape(E, nn, nc)
+            return self._assemble(r_el, C)
+
+        self.residual_free = residual_free
+        return self
 
     # ------------------------------------------------------------------
     def element_matrices(self, u, bc_mask, uprev_combo, fq, alpha0, sdt):

@@ -161,7 +161,8 @@ def _grad_at_nodes(op, u):
     du_dxi = jnp.einsum("qna,enc->eqca", Gn, ue[..., :d])
     grad = jnp.einsum("eqca,eqai->eqci", du_dxi, Jinv)   # [E, nn, d, d]
     flat = grad.reshape(grad.shape[0], grad.shape[1], d * d)
-    acc = scatter_add_elements(flat, op.elem_nodes, op.n_nodes)
+    acc = scatter_add_elements(flat, op.elem_nodes, op.n_nodes,
+                               amap=op.amap)
     acc = acc * op.inv_mult[:, None]
     return acc.reshape(op.n_nodes, d, d)
 

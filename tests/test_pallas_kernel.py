@@ -1,0 +1,75 @@
+"""Fused Pallas GLS kernel vs the XLA reference path (interpret mode).
+
+The Pallas kernel (ops/pallas_gls.py) must reproduce the batched XLA
+kernel exactly: primal residual (full tau) and the custom_jvp tangent
+(frozen-tau linearization — the reference's Newton Jacobian treatment).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from softx_2020_200_tpu.fem.mesh import hyper_cube
+from softx_2020_200_tpu.fem.dof import FESpace
+from softx_2020_200_tpu.solvers.gls import GLSOperator, StabFlags
+from softx_2020_200_tpu.ops.pallas_gls import PallasGLS
+from softx_2020_200_tpu.ops.operators import gather_elements
+
+
+@pytest.mark.parametrize("dim,refine", [(2, 3), (3, 2)])
+def test_pallas_matches_xla(dim, refine):
+    mesh = hyper_cube(0.0, 1.0, colorize=True, dim=dim).refine_uniform(refine)
+    space = FESpace(mesh, 1)
+    nu = 0.05
+    op = GLSOperator(space, nu=nu, dtype=jnp.float32)
+    op_frozen = GLSOperator(space, nu=nu, stab=StabFlags(frozen_tau=True),
+                            dtype=jnp.float32)
+    pg = PallasGLS(space, nu=nu, interpret=True)
+    N, c = space.n_nodes, dim + 1
+    E = space.n_elements
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((N, c)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((N, c)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((N, dim)).astype(np.float32))
+    fq = jnp.asarray(rng.standard_normal((E, op.n_q, dim)).astype(np.float32))
+    a0, sdt = 2.0, 4.0
+
+    C = op.consts()
+    ue = gather_elements(u, C["elem_nodes"])
+    upe = gather_elements(prev, C["elem_nodes"])
+    r_xla = op._batched_kernel(
+        jnp.transpose(ue, (1, 2, 0)), C["xe_soa"],
+        jnp.transpose(upe, (1, 2, 0)), jnp.transpose(fq, (1, 2, 0)),
+        a0, sdt)
+    r_xla = jnp.transpose(r_xla, (2, 0, 1)).reshape(E, -1)
+
+    ue2, up2, fq2 = pg.to_rows(ue), pg.to_rows(upe), pg.to_rows(fq)
+    r_p = pg.from_rows(pg.residual_rows(ue2, up2, fq2, a0, sdt))
+    scale = float(jnp.abs(r_xla).max())
+    assert float(jnp.abs(r_p - r_xla).max()) / scale < 5e-6
+
+    # tangent: frozen-tau linearization
+    Cf = op_frozen.consts()
+    due = gather_elements(v, Cf["elem_nodes"])
+    f = lambda w: op_frozen._batched_kernel(
+        w, Cf["xe_soa"], jnp.transpose(upe, (1, 2, 0)),
+        jnp.transpose(fq, (1, 2, 0)), a0, sdt)
+    dr_xla = jax.jvp(f, (jnp.transpose(ue, (1, 2, 0)),),
+                     (jnp.transpose(due, (1, 2, 0)),))[1]
+    dr_xla = jnp.transpose(dr_xla, (2, 0, 1)).reshape(E, -1)
+    g = lambda w: pg.residual_rows(w, up2, fq2, a0, sdt)
+    dr_p = pg.from_rows(jax.jvp(g, (ue2,), (pg.to_rows(due),))[1])
+    scale = float(jnp.abs(dr_xla).max())
+    assert float(jnp.abs(dr_p - dr_xla).max()) / scale < 5e-6
+
+
+def test_pallas_solver_path_couette():
+    """enable_pallas() end-to-end on the Couette solve (interpret mode)."""
+    from tests.test_gls_steady import make_solver, COUETTE_BCS
+    s = make_solver(refine=2, extra=COUETTE_BCS)
+    s.op.enable_pallas(interpret=True)
+    s._solve_jit = jax.jit(s._solve_impl)
+    u, res = s.solve_steady(verbose=False)
+    ev, ep = s.l2_errors(u)
+    assert ev < 1e-5   # f32 pallas path
