@@ -1,0 +1,289 @@
+"""Forest-of-quadtrees/octrees adaptive meshes (p4est replacement).
+
+The reference delegates adaptive meshing to p4est (SURVEY.md §2.5):
+forest of octrees over a coarse base mesh, 2:1-balanced refinement,
+hanging nodes at non-conforming faces.  This module is the TPU-native
+stand-in: leaves are integer-coordinate cells ``(level, i0, i1[, i2])``
+inside each base cell; refinement/coarsening/balancing are host-side
+integer set operations; ``build_mesh`` lowers the leaf set to the plain
+array Mesh the rest of the framework consumes, together with the
+non-conforming face list that drives hanging-node constraints and the
+Kelly estimator.
+
+Assumption (holds for every generator in fem/mesh.py): adjacent base
+cells have CONSISTENT orientation — shared faces carry the same local
+coordinate frame.  This is asserted during adjacency construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .mesh import Mesh, place_nodes, _mesh_tolerance
+
+Leaf = tuple  # (level, i0, i1[, i2]) — ints, i in [0, 2^level)
+
+
+@dataclass
+class NonConformingFace:
+    """A coarse|fine interface: the coarse cell's face is covered by
+    2^(d-1) finer cell faces."""
+    coarse_elem: int          # element index in the built mesh
+    coarse_face: int
+    fine_elem: int
+    fine_face: int
+    child_pos: tuple          # position of the fine face within the
+    #                           coarse face (per tangent axis, 0 or 1)
+
+
+class Forest:
+    def __init__(self, base: Mesh):
+        self.base = base
+        self.dim = base.dim
+        # leaves per base cell
+        self.leaves: list[set] = [
+            {(0,) + (0,) * self.dim} for _ in range(base.n_cells)]
+        self._adjacency = self._build_adjacency()
+
+    # ------------------------------------------------------------------
+    def _build_adjacency(self):
+        """base cell adjacency: (b, face) -> (b', face') or None."""
+        base = self.base
+        d = self.dim
+        nc = 2 ** d
+        faces: dict[tuple, list] = {}
+        from .basis import _lex_indices
+        corner_ij = _lex_indices(2, d)
+        for b in range(base.n_cells):
+            for f in range(2 * d):
+                axis, side = divmod(f, 2)
+                sel = [i for i in range(nc)
+                       if corner_ij[i, axis] == (1 if side else 0)]
+                key = tuple(sorted(int(base.cells[b, i]) for i in sel))
+                faces.setdefault(key, []).append((b, f))
+        adj = {}
+        for key, lst in faces.items():
+            if len(lst) == 2:
+                (b1, f1), (b2, f2) = lst
+                if f1 // 2 != f2 // 2:
+                    raise NotImplementedError(
+                        "base mesh with rotated cell adjacency is not "
+                        "supported by the forest yet")
+                adj[(b1, f1)] = (b2, f2)
+                adj[(b2, f2)] = (b1, f1)
+        return adj
+
+    # ------------------------------------------------------------------
+    def n_leaves(self) -> int:
+        return sum(len(s) for s in self.leaves)
+
+    def all_leaves(self):
+        """[(base, leaf)] in deterministic order."""
+        out = []
+        for b, s in enumerate(self.leaves):
+            out.extend((b, leaf) for leaf in sorted(s))
+        return out
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def children(leaf: Leaf, dim: int):
+        lvl = leaf[0]
+        idx = leaf[1:]
+        out = []
+        for childbits in range(2 ** dim):
+            ci = tuple(2 * idx[a] + ((childbits >> a) & 1)
+                       for a in range(dim))
+            out.append((lvl + 1,) + ci)
+        return out
+
+    @staticmethod
+    def parent(leaf: Leaf, dim: int):
+        lvl = leaf[0]
+        if lvl == 0:
+            return None
+        return (lvl - 1,) + tuple(leaf[1 + a] // 2 for a in range(dim))
+
+    # ------------------------------------------------------------------
+    def _neighbor(self, b: int, leaf: Leaf, face: int):
+        """Same-level neighbor coordinates across `face`, possibly in an
+        adjacent base cell.  Returns (b', leaf') or None at a domain
+        boundary."""
+        d = self.dim
+        lvl = leaf[0]
+        n = 1 << lvl
+        idx = list(leaf[1:])
+        axis, side = divmod(face, 2)
+        idx[axis] += 1 if side else -1
+        if 0 <= idx[axis] < n:
+            return b, (lvl, *idx)
+        nb = self._adjacency.get((b, face))
+        if nb is None:
+            return None
+        b2, f2 = nb
+        idx[axis] = 0 if (f2 % 2 == 0) else n - 1
+        return b2, (lvl, *idx)
+
+    def _exists(self, b: int, leaf: Leaf) -> str:
+        """'leaf' | 'finer' | 'coarser' | 'none'."""
+        if leaf in self.leaves[b]:
+            return "leaf"
+        anc = self.parent(leaf, self.dim)
+        while anc is not None:
+            if anc in self.leaves[b]:
+                return "coarser"
+            anc = self.parent(anc, self.dim)
+        # otherwise it is covered by finer leaves (interior position)
+        return "finer"
+
+    # ------------------------------------------------------------------
+    def refine(self, marked: list[tuple[int, Leaf]]) -> None:
+        for b, leaf in marked:
+            if leaf in self.leaves[b]:
+                self.leaves[b].remove(leaf)
+                self.leaves[b].update(self.children(leaf, self.dim))
+
+    def coarsen(self, marked: list[tuple[int, Leaf]]) -> None:
+        """Merge sibling groups when ALL siblings are marked leaves."""
+        marked_set = set(marked)
+        by_parent: dict = {}
+        for b, leaf in marked:
+            p = self.parent(leaf, self.dim)
+            if p is not None:
+                by_parent.setdefault((b, p), []).append(leaf)
+        for (b, p), kids in by_parent.items():
+            allkids = self.children(p, self.dim)
+            if (len(kids) == len(allkids)
+                    and all(k in self.leaves[b] for k in allkids)):
+                for k in allkids:
+                    self.leaves[b].remove(k)
+                self.leaves[b].add(p)
+
+    def _is_subdivided(self, b: int, cell: Leaf) -> bool:
+        """True if `cell` is covered by strictly finer leaves."""
+        if cell in self.leaves[b]:
+            return False
+        anc = self.parent(cell, self.dim)
+        while anc is not None:
+            if anc in self.leaves[b]:
+                return False        # covered by a coarser leaf
+            anc = self.parent(anc, self.dim)
+        return True
+
+    def _violates_2to1(self, b: int, leaf: Leaf, face: int) -> bool:
+        """Neighbor across `face` subdivided at least twice toward us?"""
+        nb = self._neighbor(b, leaf, face)
+        if nb is None:
+            return False
+        b2, ncell = nb
+        if not self._is_subdivided(b2, ncell):
+            return False
+        # ncell is subdivided once; a violation needs one of its children
+        # TOUCHING the shared face to be subdivided again
+        axis, side = divmod(face, 2)
+        want_bit = 0 if side else 1       # neighbor child facing back at us
+        for k, child in enumerate(self.children(ncell, self.dim)):
+            if ((k >> axis) & 1) == want_bit and \
+                    self._is_subdivided(b2, child):
+                return True
+        return False
+
+    def balance(self) -> None:
+        """Enforce 2:1 level difference across faces (p4est-style)."""
+        changed = True
+        while changed:
+            changed = False
+            for b in range(len(self.leaves)):
+                for leaf in sorted(self.leaves[b]):
+                    if leaf not in self.leaves[b]:
+                        continue
+                    for face in range(2 * self.dim):
+                        if self._violates_2to1(b, leaf, face):
+                            self.leaves[b].remove(leaf)
+                            self.leaves[b].update(
+                                self.children(leaf, self.dim))
+                            changed = True
+                            break
+
+    # ------------------------------------------------------------------
+    def build_mesh(self):
+        """Lower the forest to a Mesh + non-conforming face list.
+
+        Returns (mesh, elem_of[(b, leaf)] dict, nc_faces list).
+        """
+        base, d = self.base, self.dim
+        nc = 2 ** d
+        order = self.all_leaves()
+        elem_of = {key: i for i, key in enumerate(order)}
+        E = len(order)
+
+        # corner vertex coordinates per leaf via the base-cell mapping
+        from .basis import _lex_indices
+        corner_ij = _lex_indices(2, d).astype(np.float64)
+        verts = np.zeros((E, nc, d))
+        for i, (b, leaf) in enumerate(order):
+            lvl = leaf[0]
+            h = 1.0 / (1 << lvl)
+            lo = np.array(leaf[1:], dtype=np.float64) * h
+            ref = lo[None, :] + corner_ij * h            # [nc, d]
+            verts[i] = place_nodes(
+                base, base.vertices[base.cells[b:b + 1]], ref)[0]
+
+        flat = verts.reshape(-1, d)
+        tol = _mesh_tolerance(base.vertices, base.cells) / \
+            (1 << max(l[0] for _, l in order)) / 4
+        from .mesh import _dedup_nodes
+        vertices, inverse = _dedup_nodes(flat, tol)
+        cells = inverse.reshape(E, nc)
+
+        # boundary faces + interior conforming/non-conforming faces
+        bfaces = []
+        nc_faces: list[NonConformingFace] = []
+        base_bface = {(int(e), int(f)): int(bid)
+                      for (e, f, bid) in base.boundary_faces}
+        for i, (b, leaf) in enumerate(order):
+            lvl = leaf[0]
+            n = 1 << lvl
+            for face in range(2 * d):
+                axis, side = divmod(face, 2)
+                at_base_bdry = (leaf[1 + axis] == (n - 1 if side else 0))
+                if at_base_bdry and (b, face) not in self._adjacency:
+                    bid = base_bface.get((b, face))
+                    if bid is not None:
+                        bfaces.append((i, face, bid))
+                    continue
+                nb = self._neighbor(b, leaf, face)
+                if nb is None:
+                    continue
+                b2, nleaf = nb
+                status = self._exists(b2, nleaf)
+                if status == "coarser":
+                    # this cell is the FINE side of a non-conforming face
+                    anc = self.parent(nleaf, d)
+                    while anc not in self.leaves[b2]:
+                        anc = self.parent(anc, d)
+                    coarse_elem = elem_of[(b2, anc)]
+                    # child position of this fine face within the coarse
+                    # face, per tangent axis
+                    dl = leaf[0] - anc[0]
+                    if dl != 1:
+                        raise RuntimeError("forest not 2:1 balanced")
+                    taxes = [a for a in range(d) if a != axis]
+                    pos = tuple((leaf[1 + a] % 2) for a in taxes)
+                    nc_faces.append(NonConformingFace(
+                        coarse_elem=coarse_elem,
+                        coarse_face=(face ^ 1),
+                        fine_elem=i, fine_face=face, child_pos=pos))
+        mesh = Mesh(dim=d, vertices=vertices, cells=cells,
+                    boundary_faces=np.asarray(
+                        bfaces, dtype=np.int64).reshape(-1, 3),
+                    manifold_all=base.manifold_all,
+                    boundary_manifolds=dict(base.boundary_manifolds),
+                    periodic=list(base.periodic))
+        return mesh, elem_of, nc_faces
+
+    # ------------------------------------------------------------------
+    def levels(self) -> dict:
+        return {key: key[1][0] for key in
+                ((b, leaf) for b, leaf in self.all_leaves())}

@@ -32,7 +32,11 @@ from ..core.expressions import VectorExpression
 from ..core.pvd_handler import PVDHandler
 from ..fem.mesh import generate_mesh, Mesh, Manifold
 from ..fem.dof import FESpace
+from ..fem.forest import Forest
+from ..fem.constraints import build_hanging_constraints, HangingConstraints
+from ..fem.transfer import transfer_solution
 from ..core.parameters import BoundaryType
+from .kelly import kelly_estimate, flag_cells
 from .gls import GLSOperator, StabFlags
 from .boundary import BoundaryHandler
 from .newton import newton_solve, NewtonConfig
@@ -62,21 +66,41 @@ class GLSNavierStokesSolver:
         self.setup()
 
     # ------------------------------------------------------------------
-    def setup(self, mesh: Mesh | None = None) -> None:
+    def setup(self, mesh: Mesh | None = None, nc_faces=None) -> None:
         """read_mesh + setup_dofs + operator/BC construction."""
         prm = self.prm
         if mesh is not None:
             self._mesh = mesh
         if self._mesh is None:
-            self._mesh = generate_mesh(
-                prm.mesh.grid_type, prm.mesh.grid_arguments, dim=self.dim,
-                initial_refinement=prm.mesh.initial_refinement)
-            # manifolds declared in the deck
-            for m in prm.manifolds.manifolds:
-                center = np.array([float(x) for x in
-                                   m.arg.replace(",", " ").split()]
-                                  or [0.0] * self.dim)
-                self._mesh.boundary_manifolds[m.id] = Manifold(m.type, center)
+            adaptive = prm.mesh_adaptation.type == "kelly"
+            if adaptive:
+                # the forest owns refinement: build the coarse base mesh
+                # and pre-refine uniformly inside the forest
+                base = generate_mesh(
+                    prm.mesh.grid_type, prm.mesh.grid_arguments,
+                    dim=self.dim, initial_refinement=0)
+                for m in prm.manifolds.manifolds:
+                    center = np.array([float(x) for x in
+                                       m.arg.replace(",", " ").split()]
+                                      or [0.0] * self.dim)
+                    base.boundary_manifolds[m.id] = Manifold(m.type, center)
+                self.forest = Forest(base)
+                for _ in range(prm.mesh.initial_refinement):
+                    self.forest.refine(self.forest.all_leaves())
+                self._mesh, self._elem_of, nc_faces = \
+                    self.forest.build_mesh()
+            else:
+                self.forest = None
+                self._mesh = generate_mesh(
+                    prm.mesh.grid_type, prm.mesh.grid_arguments,
+                    dim=self.dim,
+                    initial_refinement=prm.mesh.initial_refinement)
+                for m in prm.manifolds.manifolds:
+                    center = np.array([float(x) for x in
+                                       m.arg.replace(",", " ").split()]
+                                      or [0.0] * self.dim)
+                    self._mesh.boundary_manifolds[m.id] = \
+                        Manifold(m.type, center)
         # periodic declarations reach the mesh before DoF numbering
         for bc in prm.boundary_conditions.bcs:
             if bc.type == BoundaryType.periodic:
@@ -85,6 +109,7 @@ class GLSNavierStokesSolver:
                     self._mesh.periodic.append(pair)
 
         self.space = FESpace(self._mesh, prm.fem.velocity_order)
+        self.hc = build_hanging_constraints(self.space, nc_faces or [])
         stab = StabFlags(
             supg=prm.stabilization.supg,
             pspg=prm.stabilization.pspg,
@@ -156,17 +181,26 @@ class GLSNavierStokesSolver:
     def _solve_impl(self, u0, uprev_combo, t, alpha0, sdt, C):
         """One nonlinear solve (steady: alpha0=sdt=0). Fully jitted;
         C carries every large constant array (see setup())."""
-        op, bh = self.op, self.bh
+        op, bh, hc = self.op, self.bh, self.hc
         mask = C["bc_mask"]
-        u0 = bh.constrain(u0, t, mask=mask, node_coords=C["nodes"])
+        if hc.n:
+            # constrained (hanging) dofs act like extra Dirichlet rows
+            # for masking/preconditioning purposes
+            mask = mask | jnp.zeros_like(mask).at[hc.ids].set(True)
+        u0 = bh.constrain(u0, t, mask=C["bc_mask"], node_coords=C["nodes"])
+        u0 = hc.distribute(u0)
         fq = self._source_at(t, qpts=C["qpts_phys"])
 
         def residual(u):
-            return op.residual(u, mask, uprev_combo, fq, alpha0, sdt, C=C)
+            u = hc.distribute(u)
+            R = op.residual_free(u, uprev_combo, fq, alpha0, sdt, C=C)
+            R = hc.distribute_transpose(R)
+            return jnp.where(mask, 0.0, R)
 
         def precond_builder(u):
             if self.precond_kind in ("jacobi", "block_jacobi"):
-                blocks = op.node_blocks(u, mask, uprev_combo, fq,
+                blocks = op.node_blocks(hc.distribute(u), mask,
+                                        uprev_combo, fq,
                                         alpha0, sdt, C=C)
                 return build_from_node_blocks(
                     self.precond_kind, blocks, mask).apply
@@ -177,8 +211,11 @@ class GLSNavierStokesSolver:
                 amap=op.amap)
             return P.apply
 
-        return newton_solve(residual, u0, precond_builder=precond_builder,
-                            config=self.newton_cfg)
+        res = newton_solve(residual, u0, precond_builder=precond_builder,
+                           config=self.newton_cfg)
+        if hc.n:
+            res = res._replace(u=hc.distribute(res.u))
+        return res
 
     # ------------------------------------------------------------------
     def initial_condition(self):
@@ -299,6 +336,13 @@ class GLSNavierStokesSolver:
             if prm.restart.checkpoint and \
                     ctrl.iteration % prm.restart.frequency == 0:
                 self.write_checkpoint(u, previous)
+            if (prm.mesh_adaptation.type == "kelly"
+                    and prm.mesh_adaptation.frequency > 0
+                    and ctrl.iteration % prm.mesh_adaptation.frequency == 0
+                    and not ctrl.is_at_end()):
+                # transfer the solution AND the BDF history (hard part #4)
+                fields = self.refine_mesh_kelly([u] + previous)
+                u, previous = fields[0], list(fields[1:])
             if on_step is not None:
                 on_step(self, u, t)
             if prm.timer.type == "iteration":
@@ -323,14 +367,18 @@ class GLSNavierStokesSolver:
         n_cycles = prm.simulation_control.number_mesh_adaptation + 1
         u = None
         for cycle in range(n_cycles):
+            u0 = None
             if cycle > 0:
-                if prm.mesh_adaptation.type in ("uniform", "none"):
+                if prm.mesh_adaptation.type == "kelly":
+                    u0 = self.refine_mesh_kelly([u])[0]
+                elif prm.mesh_adaptation.type in ("uniform", "none"):
                     self.setup(self._mesh.refine_uniform(1))
                 else:
-                    raise NotImplementedError(
-                        "kelly adaptation arrives with the AMR subsystem")
+                    raise ValueError(
+                        f"unknown adaptation type "
+                        f"{prm.mesh_adaptation.type!r}")
             with self.timer.section("solve"):
-                u, res = self.solve_steady()
+                u, res = self.solve_steady(u0=u0)
             if self.exact is not None:
                 ev, ep = self.l2_errors(u)
                 self.tables["L2"].append(
@@ -358,6 +406,64 @@ class GLSNavierStokesSolver:
         if prm.timer.type == "end":
             print(self.timer.report())
         return u
+
+    # ------------------------------------------------------------------
+    # adaptive mesh refinement (reference: refine_mesh_kelly, §2.2)
+    # ------------------------------------------------------------------
+    def refine_mesh_kelly(self, fields: list):
+        """Kelly estimate -> flag -> forest refine/coarsen/balance ->
+        rebuild space -> transfer all fields (incl. BDF history).
+
+        fields: list of [N, c*] arrays on the CURRENT space.
+        Returns the transferred fields on the new space.
+        """
+        if self.forest is None:
+            raise ValueError("kelly adaptation requires the forest path "
+                             "(set mesh adaptation type = kelly)")
+        ma = self.prm.mesh_adaptation
+        u = fields[0]
+        with self.timer.section("kelly_estimate"):
+            eta = kelly_estimate(self.op, u, variable=ma.variable)
+        refine_mask, coarsen_mask = flag_cells(
+            eta, fraction_type=ma.fraction_type,
+            refine_fraction=ma.fraction_refinement,
+            coarsen_fraction=ma.fraction_coarsening)
+
+        order = self.forest.all_leaves()
+        E = len(order)
+        d = self.dim
+        # level clamps + element budget
+        ref_idx = [e for e in np.where(refine_mask)[0]
+                   if order[e][1][0] < ma.max_refinement_level]
+        budget = (ma.max_number_elements - E) // (2 ** d - 1)
+        if budget < len(ref_idx):
+            ref_idx = sorted(ref_idx, key=lambda e: -eta[e])[:max(0, budget)]
+        marked_ref = [order[e] for e in ref_idx]
+        marked_coa = [order[e] for e in np.where(coarsen_mask)[0]
+                      if order[e][1][0] > ma.min_refinement_level]
+
+        # snapshot the old forest/space for the transfer
+        old_space, old_elem_of = self.space, self._elem_of
+        snap = Forest.__new__(Forest)
+        snap.base = self.forest.base
+        snap.dim = self.forest.dim
+        snap.leaves = [set(s) for s in self.forest.leaves]
+        snap._adjacency = self.forest._adjacency
+
+        with self.timer.section("refine"):
+            self.forest.coarsen(marked_coa)
+            self.forest.refine(marked_ref)
+            self.forest.balance()
+            mesh, elem_of, ncf = self.forest.build_mesh()
+            self._elem_of = elem_of
+            self.setup(mesh=mesh, nc_faces=ncf)
+            out = transfer_solution(old_space, snap, old_elem_of,
+                                    self.space, self.forest, elem_of,
+                                    fields)
+        if not self.prm.test.enable:
+            print(f"Mesh adaptation: {E} -> {self.space.n_elements} "
+                  f"cells, {self.space.n_dofs(self.dim + 1)} dofs")
+        return out
 
     # ------------------------------------------------------------------
     # postprocessing (reference: postprocess() in §3.1/3.2 call stacks)
