@@ -454,6 +454,7 @@ class StabilizationParams:
     gls_viscous_adjoint: bool = True
     lsic: bool = False
     frozen_tau_jacobian: bool = False  # full-Newton by default (jvp-exact)
+    gamma: float = 1.0                 # grad-div coefficient (GD solver)
 
     def parse(self, deck: ParameterDeck) -> None:
         d = deck.sub("stabilization")
@@ -462,6 +463,7 @@ class StabilizationParams:
         self.gls_viscous_adjoint = d.get_bool("gls viscous adjoint",
                                               self.gls_viscous_adjoint)
         self.lsic = d.get_bool("lsic", self.lsic)
+        self.gamma = d.get_double("gamma", self.gamma)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,381 @@
+"""Grad-div-stabilized Taylor-Hood solver (GDNavierStokesSolver).
+
+Rebuild of the reference's second solver flavor
+(``source/solvers/gd_navier_stokes.cc`` — SURVEY.md §2.2): inf-sup stable
+Q(k+1)-Qk velocity/pressure pair, Galerkin weak form plus grad-div
+stabilization gamma (div u, div v), Newton + matrix-free Krylov.
+
+TPU-first differences from the reference:
+- no block sparse matrix: the mixed-state residual is a batched element
+  kernel over TWO node sets (velocity at degree k+1, pressure at k) with
+  the same quadrature points; the Jacobian is jax.jvp;
+- the BlockSchurPreconditioner becomes a matrix-free block-triangular
+  apply: velocity block ~ assembled node-block Jacobi of A; Schur
+  complement ~ the classic grad-div approximation
+  S^-1 ~ -(nu + gamma) Mp^-1 with a lumped pressure mass.
+
+State layout: one flat vector [Nv*d + Np] (velocity node-major, then
+pressure) so the generic Newton/GMRES drivers apply unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dof import FESpace
+from ..fem.geometry import det_and_inv
+from ..ops.operators import (
+    gather_elements, scatter_add_elements, build_assembly_map,
+    node_multiplicity)
+
+
+class GDOperator:
+    """Matrix-free grad-div Taylor-Hood operator on a mesh."""
+
+    def __init__(self, mesh, degree_pressure: int = 1, nu: float = 1.0,
+                 gamma: float = 1.0, n_q1d: int | None = None, dtype=None):
+        self.mesh = mesh
+        self.dim = d = mesh.dim
+        self.nu = float(nu)
+        self.gamma = float(gamma)
+        self.space_v = FESpace(mesh, degree_pressure + 1)
+        self.space_p = FESpace(mesh, degree_pressure)
+        dtype = dtype or jnp.asarray(1.0).dtype
+        self.dtype = dtype
+
+        n_q1d = n_q1d or (degree_pressure + 2)
+        ptsq, wts, Bv, Gv, Hv = self.space_v.basis.quadrature(n_q1d)
+        _, _, Bp, Gp, _ = self.space_p.basis.quadrature(n_q1d)
+        self.n_q = wts.shape[0]
+        self.Bv = jnp.asarray(Bv, dtype)
+        self.Gv = jnp.asarray(Gv, dtype)
+        self.Bp = jnp.asarray(Bp, dtype)
+        self.Gp = jnp.asarray(Gp, dtype)
+        self.w = jnp.asarray(wts, dtype)
+
+        self.conn_v = jnp.asarray(self.space_v.elem_nodes)
+        self.conn_p = jnp.asarray(self.space_p.elem_nodes)
+        self.xe = jnp.asarray(self.space_v.element_coords(), dtype)
+        self.Nv = self.space_v.n_nodes
+        self.Np = self.space_p.n_nodes
+        self.nn_v = self.space_v.basis.n_nodes
+        self.nn_p = self.space_p.basis.n_nodes
+        self.amap_v = build_assembly_map(self.space_v.elem_nodes, self.Nv)
+        self.amap_p = build_assembly_map(self.space_p.elem_nodes, self.Np)
+        self.qpts_phys = jnp.einsum("qn,end->eqd", self.Bv, self.xe)
+        self.n_dofs = self.Nv * d + self.Np
+
+    # ------------------------------------------------------------------
+    def split(self, x):
+        d = self.dim
+        v = x[:self.Nv * d].reshape(self.Nv, d)
+        p = x[self.Nv * d:]
+        return v, p
+
+    def join(self, v, p):
+        return jnp.concatenate([v.reshape(-1), p])
+
+    # ------------------------------------------------------------------
+    def residual_free(self, x, vprev_combo, fq, alpha0, sdt):
+        """Mixed residual: x flat [Nv*d + Np] -> same shape.
+
+        vprev_combo [Nv, d]: sum_i alpha_i u^{n-i} at velocity nodes.
+        """
+        d = self.dim
+        v, p = self.split(x)
+        ve = gather_elements(v, self.conn_v)            # [E, nnv, d]
+        pe = p[self.conn_p]                             # [E, nnp]
+        vpe = gather_elements(vprev_combo, self.conn_v)
+
+        # SoA layout, batch-minor
+        ve_t = jnp.transpose(ve, (1, 2, 0))             # [nnv, d, E]
+        vpe_t = jnp.transpose(vpe, (1, 2, 0))
+        pe_t = jnp.transpose(pe, (1, 0))                # [nnp, E]
+        xe_t = jnp.transpose(self.xe, (1, 2, 0))
+        fq_t = jnp.transpose(fq, (1, 2, 0))             # [q, d, E]
+
+        J = jnp.einsum("niE,qnj->qijE", xe_t, self.Gv)
+        from ..ops.batched_kernel import _det_inv_soa
+        detJ, Jinv = _det_inv_soa(J)
+        scale = detJ * self.w[:, None]
+
+        vq = jnp.einsum("qn,ndE->qdE", self.Bv, ve_t)
+        dv_dxi = jnp.einsum("qna,ndE->qdaE", self.Gv, ve_t)
+        gv = jnp.einsum("qdaE,qaiE->qdiE", dv_dxi, Jinv)
+        pq = jnp.einsum("qn,nE->qE", self.Bp, pe_t)
+        vdot = alpha0 * vq + jnp.einsum("qn,ndE->qdE", self.Bv, vpe_t)
+        conv = jnp.einsum("qijE,qjE->qiE", gv, vq)
+        div = jnp.einsum("qiiE->qE", gv)
+
+        # momentum test-function coefficients
+        a_v = scale[:, None] * (vdot + conv - fq_t)
+        eye = jnp.eye(d, dtype=self.dtype)
+        a_g = scale[:, None, None] * (
+            self.nu * gv
+            + (self.gamma * div - pq)[:, None, None]
+            * eye[None, :, :, None])
+        # continuity
+        a_p = scale * div
+
+        Rv = jnp.einsum("qn,qiE->niE", self.Bv, a_v)
+        ag_ref = jnp.einsum("qijE,qajE->qiaE", a_g, Jinv)
+        Rv = Rv + jnp.einsum("qna,qiaE->niE", self.Gv, ag_ref)
+        Rp = jnp.einsum("qn,qE->nE", self.Bp, a_p)
+
+        Rv_el = jnp.transpose(Rv, (2, 0, 1))            # [E, nnv, d]
+        Rp_el = jnp.transpose(Rp, (1, 0))[:, :, None]   # [E, nnp, 1]
+        Rv_g = scatter_add_elements(Rv_el, self.conn_v, self.Nv,
+                                    amap=self.amap_v)
+        Rp_g = scatter_add_elements(Rp_el, self.conn_p, self.Np,
+                                    amap=self.amap_p)[:, 0]
+        return self.join(Rv_g, Rp_g)
+
+    # ------------------------------------------------------------------
+    def velocity_node_blocks(self, x, vprev_combo, fq, alpha0, sdt):
+        """[Nv, d, d] assembled velocity-block diagonal (for the block-
+        triangular preconditioner) via jvp probes on velocity dofs."""
+        d = self.dim
+        nnv = self.nn_v
+
+        def probe(k):
+            n0, j = k // d, k % d
+            dv = jnp.zeros((self.Nv, d), self.dtype)
+            # probing the GLOBAL vector would mix elements; probe at the
+            # element level instead: perturb local node n0 comp j in all
+            # elements simultaneously and read row n0
+            v, p = self.split(x)
+
+            def elem_res(ve_t, pe_t, vpe_t):
+                xeq = jnp.transpose(self.xe, (1, 2, 0))
+                J = jnp.einsum("niE,qnj->qijE", xeq, self.Gv)
+                from ..ops.batched_kernel import _det_inv_soa
+                detJ, Jinv = _det_inv_soa(J)
+                scale = detJ * self.w[:, None]
+                vq = jnp.einsum("qn,ndE->qdE", self.Bv, ve_t)
+                dv_dxi = jnp.einsum("qna,ndE->qdaE", self.Gv, ve_t)
+                gvl = jnp.einsum("qdaE,qaiE->qdiE", dv_dxi, Jinv)
+                pq = jnp.einsum("qn,nE->qE", self.Bp, pe_t)
+                vdot = alpha0 * vq + jnp.einsum("qn,ndE->qdE",
+                                                self.Bv, vpe_t)
+                conv = jnp.einsum("qijE,qjE->qiE", gvl, vq)
+                div = jnp.einsum("qiiE->qE", gvl)
+                a_v = scale[:, None] * (vdot + conv)
+                eye = jnp.eye(d, dtype=self.dtype)
+                a_g = scale[:, None, None] * (
+                    self.nu * gvl
+                    + (self.gamma * div - pq)[:, None, None]
+                    * eye[None, :, :, None])
+                Rv = jnp.einsum("qn,qiE->niE", self.Bv, a_v)
+                agr = jnp.einsum("qijE,qajE->qiaE", a_g, Jinv)
+                return Rv + jnp.einsum("qna,qiaE->niE", self.Gv, agr)
+
+            ve_t = jnp.transpose(gather_elements(v, self.conn_v),
+                                 (1, 2, 0))
+            pe_t = jnp.transpose(p[self.conn_p], (1, 0))
+            vpe_t = jnp.transpose(gather_elements(vprev_combo,
+                                                  self.conn_v), (1, 2, 0))
+            E = ve_t.shape[-1]
+            tangent = jnp.zeros((nnv, d, 1), self.dtype) \
+                .at[n0, j, 0].set(1.0) * jnp.ones((1, 1, E), self.dtype)
+            out = jax.jvp(lambda w: elem_res(w, pe_t, vpe_t),
+                          (ve_t,), (tangent,))[1]
+            return out[n0]                              # [d, E]
+
+        ks = jnp.arange(nnv * d)
+        cols = jax.lax.map(probe, ks)                   # [nnv*d, d, E]
+        blocks_el = jnp.transpose(
+            cols.reshape(nnv, d, d, -1), (3, 0, 2, 1))  # [E, n, i, j]
+        blocks = scatter_add_elements(
+            blocks_el.reshape(blocks_el.shape[0], nnv, d * d),
+            self.conn_v, self.Nv, amap=self.amap_v)
+        return blocks.reshape(self.Nv, d, d)
+
+    def l2_errors(self, x, exact, t=0.0):
+        """(err_v, err_p) vs a VectorExpression (pressure mean-shifted)."""
+        d = self.dim
+        v, p = self.split(x)
+        ve = gather_elements(v, self.conn_v)
+        pe = p[self.conn_p]
+        vq = jnp.einsum("qn,end->eqd", self.Bv, ve)
+        pq = jnp.einsum("qn,en->eq", self.Bp, pe)
+        J = jnp.einsum("eni,qnj->eqij", self.xe, self.Gv)
+        detJ, _ = det_and_inv(J)
+        wdet = detJ * self.w[None, :]
+        ex = exact.spatial(self.qpts_phys, t)
+        vol = jnp.sum(wdet)
+        dv = vq - ex[..., :d]
+        err_v = jnp.sqrt(jnp.sum(wdet[..., None] * dv * dv))
+        dp = pq - ex[..., d]
+        dp = dp - jnp.sum(wdet * dp) / vol
+        err_p = jnp.sqrt(jnp.sum(wdet * dp * dp))
+        return err_v, err_p
+
+    def pressure_lumped_mass(self):
+        """Lumped pressure mass diag [Np] (for the Schur approximation)."""
+        xe_t = jnp.transpose(self.xe, (1, 2, 0))
+        J = jnp.einsum("niE,qnj->qijE", xe_t, self.Gv)
+        from ..ops.batched_kernel import _det_inv_soa
+        detJ, _ = _det_inv_soa(J)
+        scale = detJ * self.w[:, None]                  # [q, E]
+        lumped_el = jnp.einsum("qn,qE->nE", self.Bp, scale)
+        lumped_el = jnp.transpose(lumped_el, (1, 0))[:, :, None]
+        return scatter_add_elements(lumped_el, self.conn_p, self.Np,
+                                    amap=self.amap_p)[:, 0]
+
+
+class GDNavierStokesSolver:
+    """Taylor-Hood grad-div solver engine (reference GDNavierStokesSolver).
+
+    Shares the deck schema with the GLS engine; the grad-div gamma comes
+    from 'stabilization / set gamma' (default 1.0, the reference's usual
+    choice).  Steady and transient BDF paths; Newton + GMRES with the
+    block-triangular Schur preconditioner.
+    """
+
+    def __init__(self, prm, mesh=None):
+        from ..core.parameters import SimulationParameters
+        from ..core.simulation_control import SimulationControl
+        from ..core.expressions import VectorExpression
+        from ..fem.mesh import generate_mesh
+        from .newton import NewtonConfig
+        self.prm = prm
+        self.dim = prm.dim
+        self.control = SimulationControl(prm.simulation_control)
+        if mesh is None:
+            mesh = generate_mesh(
+                prm.mesh.grid_type, prm.mesh.grid_arguments, dim=self.dim,
+                initial_refinement=prm.mesh.initial_refinement)
+        self._mesh = mesh
+        self.op = GDOperator(
+            mesh, degree_pressure=prm.fem.pressure_order,
+            nu=prm.physical_properties.kinematic_viscosity,
+            gamma=prm.stabilization.gamma)
+        from .boundary import BoundaryHandler
+        self.bh = BoundaryHandler(self.op.space_v, prm.boundary_conditions)
+        self.exact = (VectorExpression(prm.analytical_solution.uvwp)
+                      if prm.analytical_solution.enable else None)
+        self.source = (VectorExpression(prm.source_term.xyz)
+                       if prm.source_term.enable else None)
+        self._mms = None
+        if self.source is not None and \
+                prm.source_term.xyz.strip().lower().startswith("mms"):
+            from .analytical import mms_source
+            self._mms = mms_source(
+                self.exact, prm.physical_properties.kinematic_viscosity,
+                self.dim)
+
+        ls, nls = prm.linear_solver, prm.nonlinear_solver
+        self.newton_cfg = NewtonConfig(
+            tolerance=nls.tolerance, max_iterations=nls.max_iterations,
+            max_halvings=nls.max_line_search_halvings,
+            gmres_restart=ls.max_krylov_vectors,
+            max_krylov_cycles=max(1, ls.max_iters // ls.max_krylov_vectors),
+            relative_residual=ls.relative_residual,
+            minimum_residual=ls.minimum_residual)
+
+        d = self.dim
+        op = self.op
+        # flat Dirichlet mask/values over [Nv*d + Np]
+        mask_v = np.asarray(self.bh.mask)[:, :d]
+        self._mask = jnp.asarray(np.concatenate(
+            [mask_v.reshape(-1), np.zeros(op.Np, bool)]))
+        self._solve_jit = jax.jit(self._solve_impl)
+
+    # ------------------------------------------------------------------
+    def _bc_values_flat(self, t):
+        d = self.dim
+        vals = self.bh.values(t)[:, :d]
+        return jnp.concatenate(
+            [vals.reshape(-1),
+             jnp.zeros(self.op.Np, dtype=vals.dtype)])
+
+    def _source_q(self, t):
+        if self._mms is not None:
+            return self._mms(self.op.qpts_phys, t)
+        if self.source is None:
+            return jnp.zeros_like(self.op.qpts_phys)
+        return self.source.spatial(self.op.qpts_phys, t)[..., :self.dim]
+
+    def _solve_impl(self, x0, vprev_combo, t, alpha0, sdt):
+        from .newton import newton_solve
+        op = self.op
+        mask = self._mask
+        x0 = jnp.where(mask, self._bc_values_flat(t), x0)
+        fq = self._source_q(t)
+
+        def residual(x):
+            R = op.residual_free(x, vprev_combo, fq, alpha0, sdt)
+            return jnp.where(mask, 0.0, R)
+
+        d = self.dim
+        mask_v = mask[:op.Nv * d].reshape(op.Nv, d)
+
+        def precond_builder(x):
+            blocks = op.velocity_node_blocks(x, vprev_combo, fq,
+                                             alpha0, sdt)
+            mrow = mask_v.astype(blocks.dtype)
+            keep = 1.0 - mrow
+            blocks = blocks * keep[:, :, None] * keep[:, None, :]
+            blocks = blocks + jnp.einsum(
+                "ni,ij->nij", mrow, jnp.eye(d, dtype=blocks.dtype))
+            eye = jnp.eye(d, dtype=blocks.dtype)
+            deg = jnp.abs(jnp.linalg.det(blocks)) < 1e-300
+            binv = jnp.linalg.inv(
+                jnp.where(deg[:, None, None], eye[None], blocks))
+            mp = op.pressure_lumped_mass()
+            schur_scale = -(op.nu + op.gamma)
+
+            def apply(r):
+                rv, rp = op.split(r)
+                zv = jnp.einsum("nij,nj->ni", binv, rv)
+                zp = schur_scale * rp / mp
+                return op.join(zv, zp)
+
+            return apply
+
+        return newton_solve(residual, x0,
+                            precond_builder=precond_builder,
+                            config=self.newton_cfg)
+
+    # ------------------------------------------------------------------
+    def initial_condition(self):
+        from ..core.expressions import VectorExpression
+        d = self.dim
+        op = self.op
+        x = jnp.zeros(op.n_dofs)
+        ic = self.prm.initial_conditions
+        if ic.type in ("nodal", "L2projection"):
+            expr = VectorExpression(ic.uvwp)
+            vv = expr.spatial(jnp.asarray(op.space_v.nodes), 0.0)
+            pv = expr.spatial(jnp.asarray(op.space_p.nodes), 0.0)
+            x = op.join(vv[:, :d], pv[:, d])
+        return jnp.where(self._mask, self._bc_values_flat(0.0), x)
+
+    def solve_steady(self, x0=None):
+        if x0 is None:
+            x0 = self.initial_condition()
+        res = self._solve_jit(x0, jnp.zeros((self.op.Nv, self.dim)),
+                              0.0, 0.0, 0.0)
+        return res.u, res
+
+    def solve_transient_step(self, x, previous, t, dts, order):
+        from ..core.bdf import bdf_coefficients
+        alpha = bdf_coefficients(order, dts)
+        combo = jnp.zeros((self.op.Nv, self.dim))
+        for i in range(1, order + 1):
+            vi, _ = self.op.split(previous[i - 1])
+            combo = combo + alpha[i] * vi
+        res = self._solve_jit(x, combo, t, float(alpha[0]),
+                              1.0 / float(dts[0]))
+        return res.u, res
+
+    def l2_errors(self, x, t=0.0):
+        if self.exact is None:
+            return None
+        ev, ep = self.op.l2_errors(x, self.exact, t)
+        return float(ev), float(ep)

@@ -1,0 +1,204 @@
+"""Grad-div Taylor-Hood solver tests (reference GDNavierStokesSolver —
+SURVEY.md §2.2)."""
+
+import numpy as np
+import pytest
+
+from softx_2020_200_tpu.core.parameters import SimulationParameters
+from softx_2020_200_tpu.solvers.gd import GDNavierStokesSolver
+
+BASE = """
+subsection simulation control
+  set method = steady
+end
+subsection physical properties
+  set kinematic viscosity = {nu}
+end
+subsection FEM
+  set pressure order = 1
+end
+subsection mesh
+  set type = dealii
+  set grid type = hyper_cube
+  set grid arguments = 0 : 1 : true
+  set initial refinement = {refine}
+end
+subsection non-linear solver
+  set verbosity = quiet
+  set tolerance = 1e-10
+  set max iterations = 12
+end
+subsection linear solver
+  set verbosity = quiet
+  set relative residual = 1e-4
+  set minimum residual = 1e-12
+end
+{extra}
+"""
+
+
+def test_gd_poiseuille_exact():
+    """Q2-Q1 contains the parabolic/linear exact solution exactly."""
+    nu = 0.05
+    extra = """
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = 4*y*(1-y)
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = function
+    subsection u
+      set Function expression = 4*y*(1-y)
+    end
+  end
+  subsection bc 2
+    set id = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id = 3
+    set type = noslip
+  end
+end
+subsection analytical solution
+  set enable = true
+  subsection uvwp
+    set Function expression = 4*y*(1-y); 0; -8*%s*x
+  end
+end
+""" % nu
+    prm = SimulationParameters.from_text(
+        BASE.format(nu=nu, refine=2, extra=extra), dim=2)
+    s = GDNavierStokesSolver(prm)
+    x, res = s.solve_steady()
+    ev, ep = s.l2_errors(x)
+    assert int(res.n_iterations) <= 8
+    assert ev < 1e-8, f"GD velocity error {ev}"
+    assert ep < 1e-6, f"GD pressure error {ep}"
+
+
+def test_gd_mms_spatial_convergence():
+    """Q2-Q1 velocity converges at ~3rd order on the trig MMS."""
+    extra = """
+subsection boundary conditions
+  set number = 4
+  subsection bc {i}
+    set id = {i}
+    set type = function
+    subsection u
+      set Function expression = sin(pi*x)^2 * sin(2*pi*y)
+    end
+    subsection v
+      set Function expression = -sin(2*pi*x) * sin(pi*y)^2
+    end
+  end
+end
+"""
+    bcs = "subsection boundary conditions\n  set number = 4\n"
+    for i in range(4):
+        bcs += f"""  subsection bc {i}
+    set id = {i}
+    set type = function
+    subsection u
+      set Function expression = sin(pi*x)^2 * sin(2*pi*y)
+    end
+    subsection v
+      set Function expression = -sin(2*pi*x) * sin(pi*y)^2
+    end
+  end
+"""
+    bcs += "end\n"
+    extra = bcs + """
+subsection source term
+  set enable = true
+  subsection xyz
+    set Function expression = mms
+  end
+end
+subsection analytical solution
+  set enable = true
+  subsection uvwp
+    set Function expression = sin(pi*x)^2 * sin(2*pi*y); -sin(2*pi*x) * sin(pi*y)^2; x^4 - y^4
+  end
+end
+"""
+    errs = []
+    for refine in (2, 3):
+        prm = SimulationParameters.from_text(
+            BASE.format(nu=1.0, refine=refine, extra=extra), dim=2)
+        s = GDNavierStokesSolver(prm)
+        x, res = s.solve_steady()
+        ev, ep = s.l2_errors(x)
+        errs.append(ev)
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 2.6, f"GD Q2 velocity rate {rate} ({errs})"
+
+
+def test_gd_transient_step():
+    """One BDF1 step on the decaying space-exact field runs and stays
+    close to the exact decay."""
+    extra = """
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = exp(-t)*y*y
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = function
+    subsection u
+      set Function expression = exp(-t)*y*y
+    end
+  end
+  subsection bc 2
+    set id = 2
+    set type = function
+    subsection u
+      set Function expression = exp(-t)*y*y
+    end
+  end
+  subsection bc 3
+    set id = 3
+    set type = function
+    subsection u
+      set Function expression = exp(-t)*y*y
+    end
+  end
+end
+subsection initial conditions
+  set type = nodal
+  subsection uvwp
+    set Function expression = y*y; 0; x
+  end
+end
+subsection source term
+  set enable = true
+  subsection xyz
+    set Function expression = mms
+  end
+end
+subsection analytical solution
+  set enable = true
+  subsection uvwp
+    set Function expression = exp(-t)*y*y; 0; exp(-t)*x
+  end
+end
+"""
+    prm = SimulationParameters.from_text(
+        BASE.format(nu=0.1, refine=2, extra=extra), dim=2)
+    s = GDNavierStokesSolver(prm)
+    x0 = s.initial_condition()
+    dt = 0.05
+    x1, res = s.solve_transient_step(x0, [x0, x0, x0], dt, [dt], 1)
+    ev, ep = s.l2_errors(x1, t=dt)
+    assert ev < 5e-3, f"GD BDF1 step error {ev}"
