@@ -333,45 +333,77 @@ def hyper_shell(center, inner_radius: float, outer_radius: float,
 
 def channel_with_cylinder(length: float = 2.2, height: float = 0.41,
                           cx: float = 0.2, cy: float = 0.2,
-                          radius: float = 0.05, n_ring: int = 8,
-                          shell_factor: float = 2.0) -> Mesh:
-    """Rectangular channel with a circular hole (2D cylinder benchmark).
+                          radius: float = 0.05) -> Mesh:
+    """Rectangular channel with a circular hole (the Schaefer-Turek 2D
+    cylinder benchmark geometry; reference decks use a gmsh mesh of the
+    same topology).
 
-    Built as an O-grid ring around the cylinder glued into a background
-    block mesh; the cylinder surface gets a spherical boundary manifold.
-    Boundary ids: 0 = inlet (x-), 1 = outlet (x+), 2 = walls (y+-),
-    3 = cylinder surface (matching common Lethe cylinder decks).
+    Multiblock coarse mesh: a 4-cell O-ring between the cylinder circle
+    and the square [cx-2R, cx+2R] x [cy-2R, cy+2R], glued conformingly
+    into a graded background grid.  The cylinder surface carries a
+    spherical boundary manifold so refinement lands on the true circle.
+
+    Boundary ids: 0 = inlet (x-), 1 = outlet (x+), 2 = walls (y-, y+),
+    3 = cylinder surface.
     """
-    # ring of cells around the cylinder: inner radius = cylinder, outer =
-    # shell_factor * radius, square-ish outer boundary blended to circle
-    r_in, r_out = radius, shell_factor * radius
-    nth = 4 * n_ring
-    thetas = np.linspace(0.0, 2 * np.pi, nth, endpoint=False)
-
-    # outer ring vertices on a rounded square (blend circle->square)
+    s = 2.0 * radius                     # half-width of the ring square
+    xs = sorted({0.0, cx - s, cx + s} |
+                set(np.linspace(cx + s, length, 7)[1:]))
+    ys = sorted({0.0, cy - s, cy + s, height})
+    vid = {}
     verts = []
-    for th in thetas:
-        verts.append([cx + r_in * np.cos(th), cy + r_in * np.sin(th)])
-    for th in thetas:
-        verts.append([cx + r_out * np.cos(th), cy + r_out * np.sin(th)])
-    verts = np.asarray(verts)
+
+    def node(x, y):
+        key = (round(x, 12), round(y, 12))
+        if key not in vid:
+            vid[key] = len(verts)
+            verts.append([x, y])
+        return vid[key]
 
     cells = []
     faces = []
-    for j in range(nth):
-        jn = (j + 1) % nth
+    hole = (cx - s, cy - s)
+    for i in range(len(xs) - 1):
+        for j in range(len(ys) - 1):
+            if (abs(xs[i] - hole[0]) < 1e-12 and
+                    abs(ys[j] - hole[1]) < 1e-12):
+                continue                  # the ring fills this cell
+            c00 = node(xs[i], ys[j])
+            c10 = node(xs[i + 1], ys[j])
+            c01 = node(xs[i], ys[j + 1])
+            c11 = node(xs[i + 1], ys[j + 1])
+            en = len(cells)
+            cells.append([c00, c10, c01, c11])
+            if i == 0:
+                faces.append((en, 0, 0))                 # inlet
+            if i == len(xs) - 2:
+                faces.append((en, 1, 1))                 # outlet
+            if j == 0:
+                faces.append((en, 2, 2))                 # bottom wall
+            if j == len(ys) - 2:
+                faces.append((en, 3, 2))                 # top wall
+
+    # O-ring: circle nodes at the diagonal angles, square corners reused
+    import math as _m
+    angs = {225: _m.radians(225), 315: _m.radians(315),
+            45: _m.radians(45), 135: _m.radians(135)}
+    cnode = {k: node(cx + radius * _m.cos(a), cy + radius * _m.sin(a))
+             for k, a in angs.items()}
+    snode = {225: node(cx - s, cy - s), 315: node(cx + s, cy - s),
+             45: node(cx + s, cy + s), 135: node(cx - s, cy + s)}
+    # lexicographic corners [r0t0, r1t0, r0t1, r1t1]: axis0 = radial out,
+    # axis1 = tangential ccw (positive orientation, like hyper_shell);
+    # face 0 (axis0-) = cylinder surface
+    ring = [(225, 315), (315, 45), (45, 135), (135, 225)]
+    for a, b in ring:
         en = len(cells)
-        cells.append([j, nth + j, jn, nth + jn])
-        faces.append((en, 0, 3))  # inner face = cylinder surface
-    # Note: gluing the ring into a channel background block requires the
-    # general multiblock path; until then this generator returns the ring
-    # mesh alone (usable for manifold/mapping tests). The full cylinder
-    # benchmark mesh lands with the gmsh reader / multiblock generator.
-    mesh = Mesh(dim=2, vertices=verts,
+        cells.append([cnode[a], snode[a], cnode[b], snode[b]])
+        faces.append((en, 0, 3))
+    mesh = Mesh(dim=2, vertices=np.asarray(verts, dtype=np.float64),
                 cells=np.asarray(cells, dtype=np.int64),
-                boundary_faces=np.asarray(faces, dtype=np.int64).reshape(-1, 3))
-    mesh.boundary_manifolds[3] = Manifold("spherical",
-                                          np.array([cx, cy]))
+                boundary_faces=np.asarray(faces,
+                                          dtype=np.int64).reshape(-1, 3))
+    mesh.boundary_manifolds[3] = Manifold("spherical", np.array([cx, cy]))
     return mesh
 
 
@@ -418,6 +450,15 @@ def generate_mesh(grid_type: str, grid_arguments: str, dim: int,
         n_cells = int(float(args[3])) if len(args) >= 4 else 0
         colorize = _bool(args[4]) if len(args) >= 5 else True
         mesh = hyper_shell(center, r_in, r_out, n_cells, colorize)
+    elif gt == "channel_with_cylinder":
+        # "length, height : cx, cy : radius"
+        if len(args) >= 3:
+            lh = _floats(args[0])
+            cc = _floats(args[1])
+            mesh = channel_with_cylinder(lh[0], lh[1], cc[0], cc[1],
+                                         float(args[2]))
+        else:
+            mesh = channel_with_cylinder()
     else:
         raise ValueError(f"unknown grid type {grid_type!r}")
     if initial_refinement > 0:

@@ -73,12 +73,21 @@ class GLSNavierStokesSolver:
             self._mesh = mesh
         if self._mesh is None:
             adaptive = prm.mesh_adaptation.type == "kelly"
+
+            def _read_base(initial_refinement):
+                if prm.mesh.type == "gmsh":
+                    from ..fem.gmsh_io import read_msh
+                    m = read_msh(prm.mesh.file_name, self.dim)
+                    return m.refine_uniform(initial_refinement) \
+                        if initial_refinement else m
+                return generate_mesh(
+                    prm.mesh.grid_type, prm.mesh.grid_arguments,
+                    dim=self.dim, initial_refinement=initial_refinement)
+
             if adaptive:
                 # the forest owns refinement: build the coarse base mesh
                 # and pre-refine uniformly inside the forest
-                base = generate_mesh(
-                    prm.mesh.grid_type, prm.mesh.grid_arguments,
-                    dim=self.dim, initial_refinement=0)
+                base = _read_base(0)
                 for m in prm.manifolds.manifolds:
                     center = np.array([float(x) for x in
                                        m.arg.replace(",", " ").split()]
@@ -91,10 +100,7 @@ class GLSNavierStokesSolver:
                     self.forest.build_mesh()
             else:
                 self.forest = None
-                self._mesh = generate_mesh(
-                    prm.mesh.grid_type, prm.mesh.grid_arguments,
-                    dim=self.dim,
-                    initial_refinement=prm.mesh.initial_refinement)
+                self._mesh = _read_base(prm.mesh.initial_refinement)
                 for m in prm.manifolds.manifolds:
                     center = np.array([float(x) for x in
                                        m.arg.replace(",", " ").split()]
