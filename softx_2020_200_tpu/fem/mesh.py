@@ -154,8 +154,16 @@ def _dedup_nodes(all_nodes: np.ndarray, tol: float):
     """Merge geometrically coincident nodes.
 
     all_nodes: [M, dim]. Returns (unique_nodes[N, dim], inverse[M]).
+    Node ids follow the lexicographic coordinate order (the structured
+    fast path relies on this).  Uses the native meshkit dedup when
+    available (same ordering), NumPy otherwise.
     """
     q = np.round(all_nodes / tol).astype(np.int64)
+    from ..native import dedup_rows
+    native = dedup_rows(q)
+    if native is not None:
+        first, inverse = native
+        return all_nodes[first], inverse
     _, first, inverse = np.unique(q, axis=0, return_index=True,
                                   return_inverse=True)
     return all_nodes[first], inverse

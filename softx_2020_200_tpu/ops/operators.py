@@ -48,10 +48,19 @@ def build_assembly_map(elem_nodes: np.ndarray, n_nodes: int,
     if exclude_node is not None:
         flat_nodes = np.where(flat_nodes == exclude_node, n_nodes,
                               flat_nodes)
-    order = np.argsort(flat_nodes, kind="stable")
     counts = np.bincount(flat_nodes[flat_nodes < n_nodes],
                          minlength=n_nodes)
     M = int(counts.max()) if counts.size else 0
+
+    from ..native import assembly_map as native_amap
+    nat = native_amap(elem_nodes, n_nodes,
+                      exclude_node, max(M, 1), E * nn)
+    if nat is not None:
+        idx, used = nat
+        return AssemblyMap(idx=jnp.asarray(idx.astype(np.int32)),
+                           n_flat=E * nn, max_multiplicity=used)
+
+    order = np.argsort(flat_nodes, kind="stable")
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     idx = np.full((n_nodes, M), E * nn, dtype=np.int64)  # pad -> zero slot
     for m in range(M):

@@ -23,11 +23,14 @@ def morton_order(centroids: np.ndarray, bits: int = 16) -> np.ndarray:
     hi = centroids.max(axis=0)
     span = np.where(hi - lo > 0, hi - lo, 1.0)
     q = ((centroids - lo) / span * (2 ** bits - 1)).astype(np.uint64)
-    code = np.zeros(E, dtype=np.uint64)
-    for b in range(bits):
-        for d in range(dim):
-            code |= ((q[:, d] >> np.uint64(b)) & np.uint64(1)) << \
-                np.uint64(b * dim + d)
+    from ..native import morton_codes
+    code = morton_codes(q, bits)
+    if code is None:
+        code = np.zeros(E, dtype=np.uint64)
+        for b in range(bits):
+            for d in range(dim):
+                code |= ((q[:, d] >> np.uint64(b)) & np.uint64(1)) << \
+                    np.uint64(b * dim + d)
     return np.argsort(code, kind="stable")
 
 
