@@ -229,12 +229,15 @@ class GLSNavierStokesSolver:
         prm = self.prm
         N, c = self.space.n_nodes, self.dim + 1
         u = jnp.zeros((N, c))
-        if prm.initial_conditions.type in ("nodal", "L2projection"):
+        if prm.initial_conditions.type == "nodal":
             expr = VectorExpression(prm.initial_conditions.uvwp)
             pts = jnp.asarray(self.space.nodes)
             vals = expr.spatial(pts, 0.0)
             u = vals[:, :c] if vals.shape[-1] >= c else \
                 jnp.pad(vals, ((0, 0), (0, c - vals.shape[-1])))
+        elif prm.initial_conditions.type == "L2projection":
+            expr = VectorExpression(prm.initial_conditions.uvwp)
+            u = self._l2_project(expr)
         elif prm.initial_conditions.type == "viscous":
             # steady pre-solve with the IC viscosity, then restore the
             # run operator (reference: solve with inflated nu, restore nu)
@@ -253,6 +256,44 @@ class GLSNavierStokesSolver:
         return self.bh.constrain(u, 0.0)
 
     # ------------------------------------------------------------------
+    def _l2_project(self, expr):
+        """True L2 projection onto the FE space (reference IC type
+        'L2projection'): matrix-free mass solve with CG + lumped-mass
+        Jacobi preconditioning."""
+        from ..fem.geometry import det_and_inv
+        from ..ops.operators import gather_elements, scatter_add_elements
+        op = self.op
+        c = self.dim + 1
+        J = jnp.einsum("eni,qnj->eqij", op.xe, op.G)
+        detJ, _ = det_and_inv(J)
+        wdet = detJ * op.w[None, :]                      # [E, nq]
+
+        fvals = expr.spatial(op.qpts_phys, 0.0)[..., :c]  # [E, nq, c]
+        rhs_el = jnp.einsum("qn,eq,eqc->enc", op.B, wdet, fvals)
+        rhs = scatter_add_elements(rhs_el, op.elem_nodes, op.n_nodes,
+                                   amap=op.amap)
+        lump_el = jnp.einsum("qn,eq->en", op.B, wdet)[:, :, None]
+        lumped = scatter_add_elements(lump_el, op.elem_nodes,
+                                      op.n_nodes, amap=op.amap)[:, 0]
+
+        def mass_apply(v_flat):
+            v = v_flat.reshape(op.n_nodes, c)
+            ve = gather_elements(v, op.elem_nodes)
+            vq = jnp.einsum("qn,enc->eqc", op.B, ve)
+            back = jnp.einsum("qn,eq,eqc->enc", op.B, wdet, vq)
+            Mv = scatter_add_elements(back, op.elem_nodes, op.n_nodes,
+                                      amap=op.amap)
+            return Mv.reshape(-1)
+
+        from ..ops.linalg import gmres
+        lumped_flat = jnp.repeat(lumped, c)
+        x, rnorm, it = gmres(
+            mass_apply, rhs.reshape(-1),
+            precond=lambda v: v / lumped_flat,
+            m=50, max_restarts=10,
+            atol=1e-10 * float(jnp.linalg.norm(rhs)))
+        return x.reshape(op.n_nodes, c)
+
     def solve_steady(self, u0=None, verbose: bool | None = None):
         """One steady Newton solve; returns (u, NewtonResult)."""
         if u0 is None:
@@ -261,6 +302,41 @@ class GLSNavierStokesSolver:
                               self._consts)
         self._log_newton(res, verbose)
         return res.u, res
+
+    def solve_sdirk_step(self, u, t_old, dt, order, verbose=None):
+        """One SDIRK22/SDIRK33 step (reference: sdirk_coefficients +
+        stage sequencing in iterate(), SURVEY.md §2.1/§2.2).
+
+        Each stage solves the implicit system with
+        udot = (u_s - u_n - dt sum_{j<s} A[s,j] k_j) / (dt A[s,s]),
+        i.e. alpha0 = 1/(dt*A[s,s]) and the rest in the combo term;
+        stage derivatives k_j are recovered after each stage.  Both
+        schemes are stiffly accurate: u_{n+1} = last stage.
+        """
+        from ..core.sdirk import sdirk_coefficients
+        table = sdirk_coefficients(order, dt)
+        n_stage = order
+        A = table[:, :n_stage]
+        c = table[:, n_stage]
+        d = self.dim
+        u_n = u
+        ks = []
+        res = None
+        for s_i in range(n_stage):
+            gamma = A[s_i, s_i]
+            alpha0 = 1.0 / (dt * gamma)
+            combo = -u_n[:, :d] * alpha0
+            for j in range(s_i):
+                combo = combo - (A[s_i, j] / gamma) * ks[j]
+            t_stage = t_old + c[s_i] * dt
+            res = self._solve_jit(u, combo, t_stage, alpha0,
+                                  1.0 / dt, self._consts)
+            self._log_newton(res, verbose)
+            u_s = res.u
+            k_s = alpha0 * u_s[:, :d] + combo
+            ks.append(k_s)
+            u = u_s
+        return u, res
 
     def solve_transient_step(self, u, previous, t, dts, order, verbose=None):
         """One implicit BDF step.
@@ -292,9 +368,12 @@ class GLSNavierStokesSolver:
         is the postprocess/output hook.  Returns the final solution.
         """
         ctrl = self.control
+        sdirk_order = (int(ctrl.method.value[-1])
+                       if ctrl.method.is_sdirk else 0)
         target_order = ctrl.method.bdf_order
-        if target_order == 0:
-            raise ValueError("run_transient requires a bdf method")
+        if target_order == 0 and sdirk_order == 0:
+            raise ValueError("run_transient requires a bdf/sdirk method")
+        target_order = max(target_order, 1)
         if u0 is None:
             u0 = self.initial_condition()
         u = u0
@@ -325,8 +404,13 @@ class GLSNavierStokesSolver:
                 print(f"*** Time step : {ctrl.iteration}  "
                       f"time = {t:.{prec}g}  dt = {ctrl.dt:.{prec}g} ***")
             with self.timer.section("solve"):
-                u, res = self.solve_transient_step(
-                    u, previous, t, ctrl.dts(), order, verbose=verbose)
+                if sdirk_order:
+                    u, res = self.solve_sdirk_step(
+                        u, t - ctrl.dt, ctrl.dt, sdirk_order,
+                        verbose=verbose)
+                else:
+                    u, res = self.solve_transient_step(
+                        u, previous, t, ctrl.dts(), order, verbose=verbose)
             ctrl.cfl = float(self.op.cfl(u, ctrl.dt))
             previous = [u] + previous[:2]
             with self.timer.section("postprocess"):
