@@ -234,9 +234,9 @@ class LinearSolverParams:
     def resolved_preconditioner(self) -> str:
         if self.preconditioner != "auto":
             return self.preconditioner
-        # block-Jacobi is the default ILU-slot preconditioner; element
-        # additive-Schwarz is available via 'set preconditioner'
-        return "block_jacobi"
+        # geometric multigrid when a nested hierarchy exists (the solver
+        # falls back to block-Jacobi otherwise) — the ILU/AMG slot
+        return "gmg"
 
 
 class BoundaryType(str, Enum):

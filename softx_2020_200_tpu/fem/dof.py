@@ -75,6 +75,10 @@ class FESpace:
                             f"periodic boundaries {bid_a}/{bid_b}: no match "
                             f"for node at {nodes[idx]}")
                     remap[idx] = master
+            # resolve chained identifications (edge/corner nodes are
+            # slaves of several periodic pairs: x-then-y-then-z)
+            for _ in range(dim):
+                remap = remap[remap]
             # compress numbering
             elem_nodes = remap[elem_nodes]
             used = np.unique(elem_nodes)

@@ -27,7 +27,7 @@ def _identity(x):
 
 def gmres(matvec, b, x0=None, *, precond=None, m: int = 30,
           max_restarts: int = 10, atol: float = 1e-12,
-          reduce_fn=_identity):
+          reduce_fn=_identity, flexible: bool = False):
     """Solve A x = b with restarted right-preconditioned GMRES(m).
 
     matvec:    v -> A v              (flat vectors [n])
@@ -36,6 +36,10 @@ def gmres(matvec, b, x0=None, *, precond=None, m: int = 30,
                tolerance semantics: max(rel*|R|, minimum_residual))
     reduce_fn: cross-shard reduction applied to inner products (psum
                under shard_map; identity on one device)
+    flexible:  FGMRES — store the preconditioned vectors Z_j so the
+               preconditioner may vary between applications (required
+               when M itself contains an inner Krylov solve, e.g. the
+               multigrid bottom level)
 
     Returns (x, rnorm, iterations).
     """
@@ -58,18 +62,22 @@ def gmres(matvec, b, x0=None, *, precond=None, m: int = 30,
 
         V0 = jnp.zeros((m + 1, n), dtype=dtype)
         V0 = V0.at[0].set(r / jnp.maximum(beta, 1e-300))
+        Z0 = jnp.zeros((m, n), dtype=dtype) if flexible else None
         Hc0 = jnp.zeros((m + 1, m), dtype=dtype)
         cs0 = jnp.zeros(m, dtype=dtype)
         sn0 = jnp.zeros(m, dtype=dtype)
         g0 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
 
         def cond(state):
-            j, V, Hc, cs, sn, g, rnorm = state
+            j, V, Z, Hc, cs, sn, g, rnorm = state
             return (j < m) & (rnorm > atol)
 
         def body(state):
-            j, V, Hc, cs, sn, g, rnorm = state
-            w = matvec(precond(V[j]))
+            j, V, Z, Hc, cs, sn, g, rnorm = state
+            z = precond(V[j])
+            if flexible:
+                Z = Z.at[j].set(z)
+            w = matvec(z)
             # CGS2: two passes of projection against V[0..j]
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
             h1 = reduce_fn(V @ w) * mask
@@ -98,10 +106,10 @@ def gmres(matvec, b, x0=None, *, precond=None, m: int = 30,
             cs = cs.at[j].set(c_new)
             sn = sn.at[j].set(s_new)
             Hc = Hc.at[:, j].set(h)
-            return (j + 1, V, Hc, cs, sn, g, jnp.abs(g[j + 1]))
+            return (j + 1, V, Z, Hc, cs, sn, g, jnp.abs(g[j + 1]))
 
-        j, V, Hc, cs, sn, g, rnorm = lax.while_loop(
-            cond, body, (0, V0, Hc0, cs0, sn0, g0, beta))
+        j, V, Z, Hc, cs, sn, g, rnorm = lax.while_loop(
+            cond, body, (0, V0, Z0, Hc0, cs0, sn0, g0, beta))
 
         # solve the (masked) upper-triangular system R y = g
         idx = jnp.arange(m)
@@ -111,7 +119,10 @@ def gmres(matvec, b, x0=None, *, precond=None, m: int = 30,
         R = R + jnp.diag(jnp.where(active, 0.0, 1.0).astype(dtype))
         rhs = jnp.where(active, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
-        x_new = x + precond(y @ V[:m])
+        if flexible:
+            x_new = x + y @ Z
+        else:
+            x_new = x + precond(y @ V[:m])
         return x_new, rnorm, j
 
     def outer_cond(state):

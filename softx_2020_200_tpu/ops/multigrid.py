@@ -1,0 +1,174 @@
+"""Geometric multigrid preconditioner for the matrix-free GLS system.
+
+The reference leans on Ifpack ILU / ML AMG for Krylov preconditioning
+(SURVEY.md §3.3, hard part #2).  Neither exists on TPU; block-Jacobi
+alone degrades with 1/h.  This module supplies the mesh-independent
+option: a V-cycle over a nested hierarchy of structured lattices,
+
+    smoother   : damped node-block Jacobi (batched (d+1)x(d+1) inverses)
+    transfers  : FE interpolation (fine nodes evaluated in coarse cells;
+                 host-precomputed masters/weights — the same machinery as
+                 hanging-node constraints), restriction = its transpose
+    coarse ops : the SAME matrix-free GLS jvp linearized at the injected
+                 state, per level
+    bottom     : a few iterations of block-Jacobi-preconditioned GMRES
+                 (the outer Krylov must then be FGMRES)
+
+Everything is static-shape jnp and every level's arrays travel through
+the jit boundary as ARGUMENTS (``mg`` pytree) — no HLO literal blowup.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.mesh import subdivided_hyper_rectangle
+from ..fem.dof import FESpace
+from .preconditioners import build_from_node_blocks
+from .linalg import gmres
+
+
+def _transfer_maps(fine_space, coarse_space):
+    """Host precompute: interpolation masters/weights + injection."""
+    cs, fs = coarse_space, fine_space
+    ne = cs.mesh.structured_shape
+    lo = cs.nodes.min(axis=0)
+    hi = cs.nodes.max(axis=0)
+    span = hi - lo
+    pos = (fs.nodes - lo) / span
+    e_idx = np.minimum((pos * np.asarray(ne)).astype(np.int64),
+                       np.asarray(ne) - 1)
+    cent = cs.element_coords().mean(axis=1)
+    cent_idx = ((cent - lo) / span * np.asarray(ne)).astype(np.int64)
+    lookup = {tuple(ci): e for e, ci in enumerate(cent_idx)}
+    elem = np.array([lookup[tuple(ix)] for ix in e_idx], dtype=np.int64)
+    corner0 = cs.element_coords()[elem][:, 0, :]
+    h_elem = span / np.asarray(ne)
+    ref = np.clip((fs.nodes - corner0) / h_elem, 0.0, 1.0)
+    B, _, _ = cs.basis.tabulate(ref)                   # [Nf, nn_c]
+    masters = cs.elem_nodes[elem]
+    scale = np.maximum(np.abs(fs.nodes).max(axis=0), 1.0)
+    q_f = np.round(fs.nodes / scale * 1e10).astype(np.int64)
+    q_c = np.round(cs.nodes / scale * 1e10).astype(np.int64)
+    fmap = {tuple(r): i for i, r in enumerate(q_f)}
+    inject = np.array([fmap[tuple(r)] for r in q_c], dtype=np.int64)
+    return masters.astype(np.int32), B, inject.astype(np.int32)
+
+
+def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
+    """Build the level list for a structured-lattice GLS solver.
+
+    Returns (level_ops, mg_consts): static per-level operators + the
+    traced-array pytree (finest first; level 0 carries no transfers).
+    """
+    from ..solvers.gls import GLSOperator
+    from ..solvers.boundary import BoundaryHandler
+    space = solver.space
+    level_ops = [solver.op]
+    mg = [dict(solver.op.consts(),
+               bh_mask=solver.bh.mask)]
+    mesh = space.mesh
+    if mesh.structured_shape is None:
+        return level_ops, mg
+    ne = tuple(mesh.structured_shape)
+    lo = space.nodes.min(axis=0)
+    hi = space.nodes.max(axis=0)
+    prev_space = space
+    while (len(level_ops) < max_levels
+           and all(n % 2 == 0 for n in ne)
+           and int(np.prod(ne)) // (2 ** space.dim) >= min_elems):
+        ne = tuple(n // 2 for n in ne)
+        cmesh = subdivided_hyper_rectangle(lo, hi, list(ne),
+                                           colorize=True, dim=space.dim)
+        cmesh.periodic = list(mesh.periodic)
+        cspace = FESpace(cmesh, space.degree)
+        cop = GLSOperator(cspace, solver.op.nu,
+                          n_q1d=int(round(solver.op.n_q
+                                          ** (1 / space.dim))),
+                          stab=solver.op.stab, dtype=solver.op.dtype)
+        cbh = BoundaryHandler(cspace, solver.prm.boundary_conditions)
+        masters, weights, inject = _transfer_maps(prev_space, cspace)
+        level_ops.append(cop)
+        mg.append(dict(cop.consts(),
+                       bh_mask=cbh.mask,
+                       masters=jnp.asarray(masters),
+                       weights=jnp.asarray(weights, solver.op.dtype),
+                       inject=jnp.asarray(inject)))
+        prev_space = cspace
+        mesh = cmesh
+    return level_ops, mg
+
+
+def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
+                coarse_iters: int = 25):
+    """Return builder(u, uprev, fq, alpha0, sdt, fine_mask, mg) ->
+    apply(v): one V-cycle of the hierarchy, linearized at u."""
+    n_levels = len(level_ops)
+
+    def builder(u, uprev, fq, alpha0, sdt, fine_mask, mg):
+        # per-level linearization states
+        states = [(u, uprev, fq, fine_mask)]
+        for li in range(1, n_levels):
+            uf, upf, _, _ = states[-1]
+            inj = mg[li]["inject"]
+            uc = uf[inj]
+            upc = upf[inj]
+            op = level_ops[li]
+            fqc = jnp.zeros((op.space.n_elements, op.n_q, op.dim),
+                            u.dtype)
+            states.append((uc, upc, fqc, mg[li]["bh_mask"]))
+
+        mats = []
+        for li, (ul, upl, fql, mask) in enumerate(states):
+            op = level_ops[li]
+            C = {k: mg[li][k] for k in
+                 ("xe_soa", "elem_nodes", "amap_idx", "qpts_phys")}
+            blocks = op.node_blocks(ul, mask, upl, fql, alpha0, sdt, C=C)
+            smoother = build_from_node_blocks("block_jacobi", blocks,
+                                              mask).apply
+
+            def matvec(v, op=op, ul=ul, upl=upl, fql=fql, mask=mask, C=C):
+                f = lambda w: jnp.where(
+                    mask, 0.0,
+                    op.residual_free(w, upl, fql, alpha0, sdt, C=C))
+                return jax.jvp(f, (ul,),
+                               (jnp.where(mask, 0.0, v),))[1] \
+                    + jnp.where(mask, v, 0.0)
+
+            mats.append((matvec, smoother, mask))
+
+        def prolong(li, vc):
+            return jnp.einsum("fm,fmc->fc", mg[li]["weights"],
+                              vc[mg[li]["masters"]])
+
+        def restrict(li, rf, Nc):
+            out = jnp.zeros((Nc, rf.shape[-1]), rf.dtype)
+            return out.at[mg[li]["masters"]].add(
+                mg[li]["weights"][:, :, None] * rf[:, None, :])
+
+        def vcycle(level, r):
+            matvec, smoother, mask = mats[level]
+            if level + 1 == n_levels:
+                sol, _, _ = gmres(
+                    lambda x: matvec(x.reshape(r.shape)).reshape(-1),
+                    r.reshape(-1),
+                    precond=lambda x: smoother(
+                        x.reshape(r.shape)).reshape(-1),
+                    m=coarse_iters, max_restarts=1, atol=1e-30)
+                return sol.reshape(r.shape)
+            z = omega * smoother(r)
+            for _ in range(n_smooth - 1):
+                z = z + omega * smoother(r - matvec(z))
+            res = r - matvec(z)
+            rc = restrict(level + 1, res, level_ops[level + 1].n_nodes)
+            rc = jnp.where(mats[level + 1][2], 0.0, rc)
+            zc = vcycle(level + 1, rc)
+            z = z + jnp.where(mask, 0.0, prolong(level + 1, zc))
+            z = z + omega * smoother(r - matvec(z))
+            return z
+
+        return lambda v: vcycle(0, v)
+
+    return builder

@@ -291,18 +291,31 @@ class PallasGLS:
         self._primal = self._make_call(tangent=False)
         self._tangent = self._make_call(tangent=True)
 
-        # the custom_jvp residual over row-layout operands
+        # the custom_jvp residual over row-layout operands; geometry rows
+        # (xe2, h2) are explicit args so jitted callers can pass them as
+        # runtime parameters instead of HLO literals (compile-time
+        # hygiene at scale) — their tangents are ignored (geometry is
+        # constant within a solve)
         @jax.custom_jvp
-        def residual_rows(ue2, up2, fq2, alpha0, sdt):
-            return self._primal(ue2, up2, fq2, alpha0, sdt)
+        def residual_rows_g(ue2, up2, fq2, xe2, h2, alpha0, sdt):
+            return self._primal(ue2, up2, fq2, xe2, h2, alpha0, sdt)
 
-        @residual_rows.defjvp
+        @residual_rows_g.defjvp
         def _jvp(primals, tangents):
-            ue2, up2, fq2, alpha0, sdt = primals
+            ue2, up2, fq2, xe2, h2, alpha0, sdt = primals
             due2 = tangents[0]
-            out = residual_rows(ue2, up2, fq2, alpha0, sdt)
-            dout = self._tangent(ue2, due2, up2, fq2, alpha0, sdt)
+            out = residual_rows_g(ue2, up2, fq2, xe2, h2, alpha0, sdt)
+            dout = self._tangent(ue2, due2, up2, fq2, xe2, h2,
+                                 alpha0, sdt)
             return out, dout
+
+        self.residual_rows_g = residual_rows_g
+
+        def residual_rows(ue2, up2, fq2, alpha0, sdt,
+                          xe2=None, h2=None):
+            xe2 = xe2 if xe2 is not None else self.xe_t
+            h2 = h2 if h2 is not None else self.h_t
+            return residual_rows_g(ue2, up2, fq2, xe2, h2, alpha0, sdt)
 
         self.residual_rows = residual_rows
 
@@ -347,17 +360,17 @@ class PallasGLS:
         )
 
         if tangent:
-            def run(ue2, due2, up2, fq2, alpha0, sdt):
+            def run(ue2, due2, up2, fq2, xe2, h2, alpha0, sdt):
                 a = jnp.asarray(alpha0, self.dtype).reshape(1, 1)
                 s_ = jnp.asarray(sdt, self.dtype).reshape(1, 1)
                 return call(a, s_, self.tB, self.tG, self.tH, self.tw,
-                            ue2, due2, self.xe_t, up2, fq2, self.h_t)
+                            ue2, due2, xe2, up2, fq2, h2)
         else:
-            def run(ue2, up2, fq2, alpha0, sdt):
+            def run(ue2, up2, fq2, xe2, h2, alpha0, sdt):
                 a = jnp.asarray(alpha0, self.dtype).reshape(1, 1)
                 s_ = jnp.asarray(sdt, self.dtype).reshape(1, 1)
                 return call(a, s_, self.tB, self.tG, self.tH, self.tw,
-                            ue2, self.xe_t, up2, fq2, self.h_t)
+                            ue2, xe2, up2, fq2, h2)
         return run
 
     # ------------------------------------------------------------------

@@ -161,6 +161,18 @@ class GLSNavierStokesSolver:
             minimum_residual=ls.minimum_residual,
             skip_iterations=nls.skip_iterations)
         self.precond_kind = ls.resolved_preconditioner()
+        self._mg_builder = None
+        if self.precond_kind == "gmg":
+            from ..ops.multigrid import build_hierarchy, make_vcycle
+            self._mg_ops, self._mg_consts = build_hierarchy(self)
+            if len(self._mg_ops) < 2:
+                # no hierarchy available: fall back to block-Jacobi
+                self.precond_kind = "block_jacobi"
+            else:
+                self._mg_builder = make_vcycle(self._mg_ops)
+                import dataclasses as _dc
+                self.newton_cfg = _dc.replace(self.newton_cfg,
+                                              flexible=True)
 
         self._solve_jit = jax.jit(self._solve_impl)
         self._zero_prev = jnp.zeros((self.space.n_nodes, self.dim))
@@ -173,6 +185,8 @@ class GLSNavierStokesSolver:
         if getattr(self.op, "qpts_grid", None) is not None:
             # structured Pallas path: sources evaluated in grid order
             self._consts["qpts_phys"] = self.op.qpts_grid
+        if self._mg_builder is not None:
+            self._consts["mg"] = self._mg_consts
 
     # ------------------------------------------------------------------
     def _source_at(self, t, qpts=None):
@@ -204,6 +218,9 @@ class GLSNavierStokesSolver:
             return jnp.where(mask, 0.0, R)
 
         def precond_builder(u):
+            if self._mg_builder is not None:
+                return self._mg_builder(hc.distribute(u), uprev_combo,
+                                        fq, alpha0, sdt, mask, C["mg"])
             if self.precond_kind in ("jacobi", "block_jacobi"):
                 blocks = op.node_blocks(hc.distribute(u), mask,
                                         uprev_combo, fq,

@@ -205,12 +205,16 @@ class GLSOperator:
     # pytree every jitted entry point threads through.
     # ------------------------------------------------------------------
     def consts(self):
-        return {
+        out = {
             "xe_soa": self.xe_soa,
             "elem_nodes": self.elem_nodes,
             "amap_idx": self.amap.idx,
             "qpts_phys": self.qpts_phys,
         }
+        if getattr(self, "_pallas", None) is not None:
+            out["pg_xe"] = self._pallas.xe_t
+            out["pg_h"] = self._pallas.h_t
+        return out
 
     def _assemble(self, r_el, C):
         c = r_el.shape[-1]
@@ -315,7 +319,10 @@ class GLSOperator:
                 fq2 = rows_from_list(
                     [fq[:, q, i] for q in range(self.n_q)
                      for i in range(self.dim)])
-                r2 = pg.residual_rows(ue2, up2, fq2, alpha0, sdt)
+                xe2 = C.get("pg_xe") if C else None
+                h2 = C.get("pg_h") if C else None
+                r2 = pg.residual_rows(ue2, up2, fq2, alpha0, sdt,
+                                      xe2=xe2, h2=h2)
                 flat = r2.reshape(r2.shape[0], pg.Ep)[:, :E]
                 rows = [flat[i] for i in range(r2.shape[0])]
                 return sl.scatter_rows_list(rows, nc)
@@ -336,7 +343,8 @@ class GLSOperator:
             ue2 = pg.to_rows(u[en])
             up2 = pg.to_rows(uprev_combo[en])
             fq2 = pg.to_rows(fq)
-            r2 = pg.residual_rows(ue2, up2, fq2, alpha0, sdt)
+            r2 = pg.residual_rows(ue2, up2, fq2, alpha0, sdt,
+                                  xe2=C.get("pg_xe"), h2=C.get("pg_h"))
             r_el = pg.from_rows(r2).reshape(E, nn, nc)
             return self._assemble(r_el, C)
 

@@ -41,6 +41,9 @@ class NewtonConfig:
     minimum_residual: float = 1e-10
     # preconditioner refresh cadence (1 = every iteration; >1 = skip-Newton)
     skip_iterations: int = 1
+    # FGMRES (required when the preconditioner itself iterates, e.g. the
+    # multigrid bottom-level Krylov solve)
+    flexible: bool = False
 
 
 class NewtonResult(NamedTuple):
@@ -96,7 +99,8 @@ def newton_solve(residual_fn: Callable, u0, *,
                 matvec, -R.reshape(-1), precond=pre_flat,
                 m=config.gmres_restart,
                 max_restarts=config.max_krylov_cycles,
-                atol=lin_atol, reduce_fn=reduce_fn)
+                atol=lin_atol, reduce_fn=reduce_fn,
+                flexible=config.flexible)
         d = d.reshape(shape)
 
         # alpha-halving line search on ||R(u + alpha d)||
