@@ -34,8 +34,10 @@ def _transfer_maps(fine_space, coarse_space):
     """Host precompute: interpolation masters/weights + injection."""
     cs, fs = coarse_space, fine_space
     ne = cs.mesh.structured_shape
-    lo = cs.nodes.min(axis=0)
-    hi = cs.nodes.max(axis=0)
+    # domain bounds from the MESH vertices: on periodic axes the fused
+    # node array stops one layer short of the domain end
+    lo = cs.mesh.vertices.min(axis=0)
+    hi = cs.mesh.vertices.max(axis=0)
     span = hi - lo
     pos = (fs.nodes - lo) / span
     e_idx = np.minimum((pos * np.asarray(ne)).astype(np.int64),
@@ -73,8 +75,8 @@ def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
     if mesh.structured_shape is None:
         return level_ops, mg
     ne = tuple(mesh.structured_shape)
-    lo = space.nodes.min(axis=0)
-    hi = space.nodes.max(axis=0)
+    lo = mesh.vertices.min(axis=0)
+    hi = mesh.vertices.max(axis=0)
     prev_space = space
     while (len(level_ops) < max_levels
            and all(n % 2 == 0 for n in ne)
