@@ -68,6 +68,21 @@ class ShardedGLSSolver:
 
         n_q1d = n_q1d or (space.degree + 1)
         pts, wts, B, G, H = space.basis.quadrature(n_q1d)
+        from ..ops.batched_kernel import make_batched_kernel
+        batched = make_batched_kernel(
+            dim=space.dim, degree=space.degree, B=B, G=G, H=H, w=wts,
+            nu=nu, stab=stab, dtype=dtype)
+
+        def kernel_aos(ue, xe, upe, fq, alpha0, sdt):
+            """[E, nn, c]-in/out wrapper over the batch-minor kernel."""
+            r = batched(jnp.transpose(ue, (1, 2, 0)),
+                        jnp.transpose(xe, (1, 2, 0)),
+                        jnp.transpose(upe, (1, 2, 0)),
+                        jnp.transpose(fq, (1, 2, 0)), alpha0, sdt)
+            return jnp.transpose(r, (2, 0, 1))
+
+        self._kernel_aos = kernel_aos
+        # single-element kernel retained for the preconditioner jacfwd
         kernel = make_element_kernel(
             dim=space.dim, degree=space.degree,
             B=jnp.asarray(B, dtype), G=jnp.asarray(G, dtype),
@@ -139,8 +154,7 @@ class ShardedGLSSolver:
                 u = refresh(u)
                 ue = u[elem_nodes]
                 upe = refresh(uprev)[elem_nodes]
-                r_el = jax.vmap(kernel, in_axes=(0, 0, 0, 0, None, None))(
-                    ue, xe, upe, fq, alpha0, sdt)
+                r_el = self._kernel_aos(ue, xe, upe, fq, alpha0, sdt)
                 r_el = r_el * elem_valid[:, None, None]
                 r = assemble(r_el)
                 r = combine(r)
