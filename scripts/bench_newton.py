@@ -84,7 +84,7 @@ subsection linear solver
   set verbosity = quiet
   set relative residual = 1e-4
   set minimum residual = 1e-30
-  set max krylov vectors = 40
+  set max krylov vectors = 25
   set max iters = 400
 end
 """

@@ -24,6 +24,7 @@ import math
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..solvers.gls import StabFlags
@@ -175,23 +176,56 @@ def element_matrices_batched(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
 
 
 def node_blocks_batched(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
-                        alpha0, sdt):
+                        alpha0, sdt, target_chunk: int = 65536):
     """Node-diagonal Jacobian blocks only: [E, nn, c, c].
 
     blocks[e, n, i, j] = d r[n, i] / d ue[n, j] — all that block-Jacobi
     needs, at a fraction of the memory of the full element matrices.
+    The element batch is processed in chunks (lax.map over E-blocks) so
+    the jvp's kernel intermediates stay bounded at large E.
     """
     nn, c, E = ue_soa.shape
 
-    def probe(k):
-        n0, j = k // c, k % c
-        tangent = jnp.zeros((nn, c, 1), ue_soa.dtype).at[n0, j, 0].set(1.0)
-        tangent = tangent * jnp.ones((1, 1, E), ue_soa.dtype)
-        f = lambda u: kernel(u, xe_soa, uprev_soa, fq_soa, alpha0, sdt)
-        out = jax.jvp(f, (ue_soa,), (tangent,))[1]       # [nn, c, E]
-        return out[n0]                                   # [c, E] rows of n0
+    n_chunks = max(1, int(np.ceil(E / target_chunk)))
+    Ec = int(np.ceil(E / n_chunks))
+    Ep = n_chunks * Ec
 
-    ks = jnp.arange(nn * c)
-    cols = jax.lax.map(probe, ks)                        # [nn*c, c, E]
-    blocks = cols.reshape(nn, c, c, E)                   # [n, j, i, E]
-    return jnp.transpose(blocks, (3, 0, 2, 1))           # [E, n, i, j]
+    def padE(a):
+        pad = Ep - a.shape[-1]
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1)
+        return a.reshape(a.shape[:-1] + (n_chunks, Ec))
+
+    ue_c = jnp.moveaxis(padE(ue_soa), -2, 0)       # [K, nn, c, Ec]
+    xe_c = jnp.moveaxis(padE(xe_soa), -2, 0)
+    up_c = jnp.moveaxis(padE(uprev_soa), -2, 0)
+    fq_c = jnp.moveaxis(padE(fq_soa), -2, 0)
+    if Ep != E:
+        # zero-padded geometry would make J singular: fill the padded
+        # tail with copies of element 0 (results there are discarded)
+        tail = jnp.broadcast_to(
+            xe_soa[:, :, :1],
+            (xe_soa.shape[0], xe_soa.shape[1], Ep - E))
+        last = jnp.concatenate(
+            [xe_soa[:, :, (n_chunks - 1) * Ec:], tail], axis=-1)
+        xe_c = xe_c.at[-1].set(last)
+
+    def chunk_blocks(args):
+        ue_k, xe_k, up_k, fq_k = args
+
+        def probe(k):
+            n0, j = k // c, k % c
+            tangent = jnp.zeros((nn, c, 1), ue_soa.dtype) \
+                .at[n0, j, 0].set(1.0)
+            tangent = tangent * jnp.ones((1, 1, Ec), ue_soa.dtype)
+            f = lambda u: kernel(u, xe_k, up_k, fq_k, alpha0, sdt)
+            out = jax.jvp(f, (ue_k,), (tangent,))[1]     # [nn, c, Ec]
+            return out[n0]                               # [c, Ec]
+
+        cols = jax.lax.map(probe, jnp.arange(nn * c))    # [nn*c, c, Ec]
+        blocks = cols.reshape(nn, c, c, Ec)
+        return jnp.transpose(blocks, (3, 0, 2, 1))       # [Ec, n, i, j]
+
+    out = jax.lax.map(chunk_blocks, (ue_c, xe_c, up_c, fq_c))
+    return out.reshape(Ep, nn, c, c)[:E]

@@ -125,8 +125,11 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
         mats = []
         for li, (ul, upl, fql, mask) in enumerate(states):
             op = level_ops[li]
-            C = {k: mg[li][k] for k in
-                 ("xe_soa", "elem_nodes", "amap_idx", "qpts_phys")}
+            # pass EVERY level array through (incl. the pallas geometry
+            # rows pg_xe/pg_h on the fine level) — anything missing here
+            # would fall back to a closure constant and blow up the HLO
+            C = {k: v for k, v in mg[li].items()
+                 if k not in ("bh_mask", "masters", "weights", "inject")}
             blocks = op.node_blocks(ul, mask, upl, fql, alpha0, sdt, C=C)
             smoother = build_from_node_blocks("block_jacobi", blocks,
                                               mask).apply
