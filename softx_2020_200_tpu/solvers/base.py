@@ -675,14 +675,18 @@ class GLSNavierStokesSolver:
         path = os.path.join(prm.simulation_control.output_path,
                             prm.restart.filename)
         with self.timer.section("checkpoint"):
+            # atomic write (temp + rename): a crash mid-write never
+            # corrupts the last good checkpoint (reference §5.4 parity)
+            tmp = path + ".tmp.npz"
             np.savez(
-                path + ".npz",
+                tmp,
                 u=np.asarray(u),
                 previous=np.stack([np.asarray(p) for p in previous]),
                 control=json.dumps(self.control.serialize()),
                 pvd=json.dumps(self.pvd.serialize()),
                 n_nodes=self.space.n_nodes,
                 degree=self.space.degree)
+            os.replace(tmp, path + ".npz")
 
     def read_checkpoint(self):
         prm = self.prm

@@ -67,6 +67,29 @@ def test_sharded_matches_single_device(n_shards):
     assert iters <= int(res.n_iterations) + 2
 
 
+def test_sharded_transient_step_matches_single_device():
+    """One BDF1 step sharded over 4 devices == single-device step."""
+    import jax.numpy as jnp
+    s = couette_setup(refine=2)
+    u0 = s.initial_condition()
+    dt = 0.05
+    u_ref, res = s.solve_transient_step(
+        u0, [u0, u0, u0], dt, [dt], 1, verbose=False)
+
+    sh = ShardedGLSSolver(s.space, nu=s.op.nu,
+                          devices=jax.devices()[:4], stab=s.op.stab,
+                          newton=s.newton_cfg)
+    from softx_2020_200_tpu.core.bdf import bdf_coefficients
+    alpha = bdf_coefficients(1, [dt])
+    combo = alpha[1] * u0[:, :2]
+    u_par, hist, iters, lin = sh.solve(
+        np.asarray(u0), np.asarray(s.bh.mask),
+        np.asarray(s.bh.values(dt)), np.asarray(combo),
+        alpha0=float(alpha[0]), sdt=1.0 / dt)
+    err = np.abs(u_par - np.asarray(u_ref)).max()
+    assert err < 5e-8, f"transient sharded mismatch {err}"
+
+
 def test_sharded_exact_linear_solution():
     """The sharded solve reproduces the exact Couette field."""
     s = couette_setup(refine=2)
