@@ -36,6 +36,7 @@ prm.mesh.initial_refinement = int(os.environ.get("CYL_REFINE", "4"))
 prm.fem.velocity_order = int(os.environ.get("CYL_ORDER", "1"))
 prm.fem.pressure_order = prm.fem.velocity_order
 prm.forces.calculate_forces = False       # we sample manually
+prm.restart.checkpoint = False
 for blk in (prm.nonlinear_solver, prm.linear_solver):
     blk.verbosity = type(blk.verbosity)("quiet")
 

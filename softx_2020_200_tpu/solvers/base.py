@@ -675,6 +675,7 @@ class GLSNavierStokesSolver:
         path = os.path.join(prm.simulation_control.output_path,
                             prm.restart.filename)
         with self.timer.section("checkpoint"):
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             # atomic write (temp + rename): a crash mid-write never
             # corrupts the last good checkpoint (reference §5.4 parity)
             tmp = path + ".tmp.npz"
