@@ -1,0 +1,108 @@
+"""Slip boundary conditions + CFL-adaptive time stepping
+(reference: BoundaryType::slip, SimulationControl dt adaptation —
+SURVEY.md §2.1)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from softx_2020_200_tpu.core.parameters import SimulationParameters
+from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
+
+
+def test_slip_walls_give_plug_flow():
+    """Uniform inflow + slip side walls: the exact solution is plug flow
+    u=(1,0) with constant pressure (no wall friction)."""
+    deck = """
+subsection simulation control
+  set method = steady
+end
+subsection physical properties
+  set kinematic viscosity = 0.05
+end
+subsection mesh
+  set type = dealii
+  set grid type = hyper_cube
+  set grid arguments = 0 : 1 : true
+  set initial refinement = 3
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = 1
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = function
+    subsection u
+      set Function expression = 1
+    end
+  end
+  subsection bc 2
+    set id = 2
+    set type = slip
+  end
+  subsection bc 3
+    set id = 3
+    set type = slip
+  end
+end
+subsection analytical solution
+  set enable = true
+  set verbosity = quiet
+  subsection uvwp
+    set Function expression = 1; 0; 0
+  end
+end
+subsection non-linear solver
+  set verbosity = quiet
+  set tolerance = 1e-10
+end
+subsection linear solver
+  set verbosity = quiet
+  set relative residual = 1e-5
+  set minimum residual = 1e-12
+end
+"""
+    prm = SimulationParameters.from_text(deck, dim=2)
+    s = GLSNavierStokesSolver(prm)
+    # slip on y-walls constrains ONLY the v component
+    mask = np.asarray(s.bh.mask)
+    wall_nodes = s.space.boundary_nodes[2]
+    assert mask[wall_nodes, 1].all()          # normal (v) constrained
+    interior_wall = [n for n in wall_nodes
+                     if n not in set(s.space.boundary_nodes[0])
+                     and n not in set(s.space.boundary_nodes[1])]
+    assert not mask[interior_wall, 0].any()   # tangential (u) free
+    u, res = s.solve_steady(verbose=False)
+    ev, ep = s.l2_errors(u)
+    assert ev < 1e-9, f"plug-flow error {ev}"
+
+
+def test_cfl_adaptive_dt_grows():
+    """With 'set adapt = true' the step size ramps up toward max cfl."""
+    from tests.test_mms_convergence import TRANSIENT_MMS_DECK
+    text = TRANSIENT_MMS_DECK.format(method="bdf1", dt=0.005, tend=0.2,
+                                     refine=2)
+    text += """
+subsection timer
+  set type = end
+end
+"""
+    prm = SimulationParameters.from_text(text, dim=2)
+    prm.simulation_control.adapt = True
+    prm.simulation_control.max_cfl = 2.0
+    prm.simulation_control.adaptative_time_step_scaling = 1.2
+    s = GLSNavierStokesSolver(prm)
+    dts = []
+    s.run_transient(on_step=lambda sv, u, t: dts.append(sv.control.dt),
+                    verbose=False)
+    assert len(dts) >= 3
+    # the final step is clipped to land exactly on time end -> use max
+    assert max(dts) > dts[0] * 1.3, f"dt did not grow: {dts}"
+    # CFL stays bounded by max cfl (within one growth factor)
+    assert s.control.cfl <= 2.0 * 1.2 + 1e-6
