@@ -139,6 +139,29 @@ def build_from_node_blocks(kind: str, blocks, bc_mask) -> Preconditioner:
         apply=lambda v: jnp.einsum("nij,nj->ni", binv, v))
 
 
+def node_blocks_to_state(kind: str, blocks, bc_mask):
+    """Pure-array preconditioner state (for skip-Newton carrying):
+    jacobi -> inverse diagonal [N, c]; block_jacobi -> block inverses
+    [N, c, c]."""
+    nc = blocks.shape[-1]
+    eye = jnp.eye(nc, dtype=blocks.dtype)
+    if bc_mask is not None:
+        blocks = blocks + jnp.einsum(
+            "ni,ij->nij", bc_mask.astype(blocks.dtype), eye)
+    if kind == "jacobi":
+        diag = jnp.diagonal(blocks, axis1=1, axis2=2)
+        return 1.0 / jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+    degenerate = jnp.abs(jnp.linalg.det(blocks)) < 1e-300
+    blocks = jnp.where(degenerate[:, None, None], eye[None], blocks)
+    return jnp.linalg.inv(blocks)
+
+
+def apply_node_block_state(state, v):
+    if state.ndim == 2:           # jacobi inverse diagonal
+        return v * state
+    return jnp.einsum("nij,nj->ni", state, v)
+
+
 def build_preconditioner(kind: str, A_e, elem_nodes, n_nodes, nn, nc,
                          inv_mult=None, bc_mask=None,
                          amap=None) -> Preconditioner:

@@ -234,8 +234,30 @@ class GLSNavierStokesSolver:
                 amap=op.amap)
             return P.apply
 
-        res = newton_solve(residual, u0, precond_builder=precond_builder,
-                           config=self.newton_cfg)
+        # skip-Newton (reference SkipNewtonNonLinearSolver): carry the
+        # preconditioner state and rebuild it every `skip iterations`
+        use_skip = (self.prm.nonlinear_solver.solver == "skip_newton"
+                    and self._mg_builder is None
+                    and self.precond_kind in ("jacobi", "block_jacobi"))
+        if use_skip:
+            from ..ops.preconditioners import (
+                node_blocks_to_state, apply_node_block_state)
+
+            def pstate(u):
+                blocks = op.node_blocks(hc.distribute(u), mask,
+                                        uprev_combo, fq, alpha0, sdt, C=C)
+                return node_blocks_to_state(self.precond_kind, blocks,
+                                            mask)
+
+            res = newton_solve(
+                residual, u0, precond_builder=precond_builder,
+                config=self.newton_cfg,
+                precond_state_fn=pstate,
+                precond_apply_fn=apply_node_block_state)
+        else:
+            res = newton_solve(residual, u0,
+                               precond_builder=precond_builder,
+                               config=self.newton_cfg)
         if hc.n:
             res = res._replace(u=hc.distribute(res.u))
         return res

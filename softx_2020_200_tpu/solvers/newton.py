@@ -57,12 +57,22 @@ class NewtonResult(NamedTuple):
 def newton_solve(residual_fn: Callable, u0, *,
                  precond_builder: Callable,
                  config: NewtonConfig,
-                 reduce_fn=lambda x: x) -> NewtonResult:
+                 reduce_fn=lambda x: x,
+                 precond_state_fn: Callable | None = None,
+                 precond_apply_fn: Callable | None = None) -> NewtonResult:
     """Solve R(u) = 0.
 
     residual_fn:     u[N, c] -> R[N, c] (constrained; zero at Dirichlet)
-    precond_builder: u[N, c] -> (v[N, c] -> M^{-1} v)
+    precond_builder: u[N, c] -> (v[N, c] -> M^{-1} v)   (rebuilt every
+                     iteration — the plain Newton path)
     reduce_fn:       cross-shard sum for norms/dots (psum under shard_map)
+
+    Skip-Newton (reference SkipNewtonNonLinearSolver): pass
+    ``precond_state_fn(u) -> state`` (a pytree of arrays) and
+    ``precond_apply_fn(state, v) -> v`` instead; the state is then
+    carried in the Newton loop and rebuilt only every
+    ``config.skip_iterations`` iterations (frozen preconditioner /
+    linearization point; the J.v products stay exact).
     """
     shape = u0.shape
     nflat = u0.size
@@ -74,15 +84,27 @@ def newton_solve(residual_fn: Callable, u0, *,
         return residual_fn(u_flat.reshape(shape)).reshape(-1)
 
     maxit = config.max_iterations
+    stateful = precond_state_fn is not None
+    skip = max(1, config.skip_iterations)
 
     def body(state):
-        u, R, rnorm, it, lin_total, hist, alphas = state
+        u, R, rnorm, it, lin_total, hist, alphas, pstate = state
 
         # matrix-free Jacobian-vector product at the current iterate
         def matvec(v_flat):
             return jax.jvp(flat_residual, (u.reshape(-1),), (v_flat,))[1]
 
-        precond = precond_builder(u.reshape(shape))
+        if stateful:
+            if skip > 1:
+                pstate = lax.cond(it % skip == 0,
+                                  lambda _: precond_state_fn(
+                                      u.reshape(shape)),
+                                  lambda s: s, pstate)
+            else:
+                pstate = precond_state_fn(u.reshape(shape))
+            precond = lambda v: precond_apply_fn(pstate, v)
+        else:
+            precond = precond_builder(u.reshape(shape))
 
         def pre_flat(v_flat):
             return precond(v_flat.reshape(shape)).reshape(-1)
@@ -123,18 +145,20 @@ def newton_solve(residual_fn: Callable, u0, *,
         u_new = u + alpha * d
         hist = hist.at[it + 1].set(nt)
         alphas = alphas.at[it].set(alpha)
-        return (u_new, Rt, nt, it + 1, lin_total + lin_it, hist, alphas)
+        return (u_new, Rt, nt, it + 1, lin_total + lin_it, hist, alphas,
+                pstate)
 
     def cond(state):
-        u, R, rnorm, it, lin_total, hist, alphas = state
+        rnorm, it = state[2], state[3]
         return (rnorm > config.tolerance) & (it < maxit)
 
     R0 = residual_fn(u0)
     n0 = norm(R0)
     hist0 = jnp.full(maxit + 1, jnp.nan, dtype=u0.dtype).at[0].set(n0)
     alphas0 = jnp.full(maxit, jnp.nan, dtype=u0.dtype)
+    pstate0 = precond_state_fn(u0) if stateful else 0
 
-    u, R, rnorm, it, lin_total, hist, alphas = lax.while_loop(
-        cond, body, (u0, R0, n0, 0, 0, hist0, alphas0))
+    u, R, rnorm, it, lin_total, hist, alphas, _ = lax.while_loop(
+        cond, body, (u0, R0, n0, 0, 0, hist0, alphas0, pstate0))
     return NewtonResult(u=u, res_history=hist, n_iterations=it,
                         linear_iters=lin_total, alphas=alphas)
