@@ -158,14 +158,60 @@ def _dedup_nodes(all_nodes: np.ndarray, tol: float):
     fast path relies on this).  Uses the native meshkit dedup when
     available (same ordering), NumPy otherwise.
     """
-    q = np.round(all_nodes / tol).astype(np.int64)
+    x = all_nodes / tol
+    q = np.round(x).astype(np.int64)
     from ..native import dedup_rows
     native = dedup_rows(q)
     if native is not None:
         first, inverse = native
-        return all_nodes[first], inverse
-    _, first, inverse = np.unique(q, axis=0, return_index=True,
-                                  return_inverse=True)
+    else:
+        _, first, inverse = np.unique(q, axis=0, return_index=True,
+                                      return_inverse=True)
+
+    # bin-straddle guard: two coincident-intent nodes (inexact gmsh
+    # floats) can land in ADJACENT quantization bins when they sit within
+    # float noise of a bin boundary, silently cracking the mesh.  Detect
+    # the (rare) risky inputs and union their bins with any neighboring
+    # bin whose representative lies closer than tol.
+    frac = x - q
+    risky = np.nonzero(np.any(np.abs(frac) > 0.49, axis=1))[0]
+    if risky.size:
+        uq = q[first]
+        lookup = {tuple(r): i for i, r in enumerate(uq)}
+        parent = np.arange(len(first))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        import itertools
+        offs = [o for o in itertools.product((-1, 0, 1),
+                                             repeat=all_nodes.shape[1])
+                if any(o)]
+        for i in risky:
+            a = find(inverse[i])
+            for off in offs:
+                j = lookup.get(tuple(q[i] + np.asarray(off)))
+                if j is None:
+                    continue
+                b = find(j)
+                if a == b:
+                    continue
+                if np.linalg.norm(all_nodes[i] - all_nodes[first[b]]) < tol:
+                    # keep the lexicographically-smaller bin so the
+                    # surviving unique rows stay in sorted order
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+                    a = lo
+        roots = np.array([find(i) for i in range(len(first))])
+        if np.any(roots != np.arange(len(first))):
+            keep = np.nonzero(roots == np.arange(len(first)))[0]
+            remap = np.full(len(first), -1, dtype=np.int64)
+            remap[keep] = np.arange(len(keep))
+            inverse = remap[roots[inverse]]
+            first = first[keep]
     return all_nodes[first], inverse
 
 

@@ -84,6 +84,18 @@ def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
         ne = tuple(n // 2 for n in ne)
         cmesh = subdivided_hyper_rectangle(lo, hi, list(ne),
                                            colorize=True, dim=space.dim)
+        # propagate the FINE mesh's boundary-id convention: a fine deck
+        # built without colorize (or remapped ids) would otherwise get
+        # misassigned coarse Dirichlet masks, silently weakening the
+        # V-cycle.  Generator meshes key the id off the local face index.
+        side_bid = {}
+        for (_, lf, b) in space.mesh.boundary_faces:
+            side_bid.setdefault(int(lf), set()).add(int(b))
+        if all(len(v) == 1 for v in side_bid.values()):
+            for row in cmesh.boundary_faces:
+                ids = side_bid.get(int(row[1]))
+                if ids:
+                    row[2] = next(iter(ids))
         cmesh.periodic = list(mesh.periodic)
         cspace = FESpace(cmesh, space.degree)
         cop = GLSOperator(cspace, solver.op.nu,

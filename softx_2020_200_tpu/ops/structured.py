@@ -66,13 +66,36 @@ class StructuredLayout:
         # node coordinate grid (host) for element-coords extraction
         self._nodes_grid = space.nodes.reshape(*self.m, self.dim)
 
+        # element permutation: this path's element order (element-lattice
+        # C-order) vs the space's element order.  Per-element quantities
+        # evaluated in space order (source terms fq) are permuted with
+        # elem_perm before entering the strided kernels:
+        # fq_grid = fq[elem_perm].
+        cent = space.element_coords().mean(axis=1)        # [E, dim]
+        lo = cent.min(axis=0)
+        hi = cent.max(axis=0)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        idx = np.rint((cent - lo) / span
+                      * (np.asarray(self.ne) - 1)).astype(np.int64)
+        lin_c = np.ravel_multi_index(idx.T, self.ne, order="C")
+        if len(np.unique(lin_c)) != self.E:
+            raise ValueError("could not identify the element lattice "
+                             "permutation (non-uniform structured mesh?)")
+        perm = np.empty(self.E, dtype=np.int64)
+        perm[lin_c] = np.arange(self.E)
+        self.elem_perm = perm                             # grid -> space
+
     # ------------------------------------------------------------------
     def _extend(self, g):
-        """Append the wrapped halo layer on periodic axes: [m] -> [k*ne+1]."""
-        k = self.degree
+        """Append the wrapped halo layer on periodic axes: [m] -> [k*ne+1].
+
+        Only ONE wrapped layer is ever read: window offsets reach at most
+        extended index k*ne, which is node 0 wrapped (the periodic lattice
+        has period m = k*ne nodes).
+        """
         for a in range(self.dim):
             if self.periodic[a]:
-                head = jnp.take(g, jnp.arange(k), axis=a)
+                head = jnp.take(g, jnp.arange(1), axis=a)
                 g = jnp.concatenate([g, head], axis=a)
         return g
 
@@ -125,13 +148,16 @@ class StructuredLayout:
             blk = jnp.stack([rows[n * c + i] for i in range(c)],
                             axis=-1).reshape(*self.ne, c)
             R = R.at[idx].add(blk)
-        # fold periodic halos back
+        # fold periodic halos back: the halo is exactly (ext - m) = 1 layer
+        # (extended index k*ne == wrapped node 0); adding it onto slice(0, k)
+        # would broadcast the single layer onto k layers for degree >= 2.
         for a in range(self.dim):
             if self.periodic[a]:
                 m = self.m[a]
+                hw = R.shape[a] - m
                 head = jnp.take(R, jnp.arange(m, R.shape[a]), axis=a)
                 R = jnp.take(R, jnp.arange(m), axis=a)
-                R = R.at[tuple([slice(None)] * a + [slice(0, k)])].add(head)
+                R = R.at[tuple([slice(None)] * a + [slice(0, hw)])].add(head)
         return R.reshape(-1, c)
 
     # ------------------------------------------------------------------

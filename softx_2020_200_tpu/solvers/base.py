@@ -182,9 +182,6 @@ class GLSNavierStokesSolver:
         self._consts = dict(self.op.consts())
         self._consts["bc_mask"] = self.bh.mask
         self._consts["nodes"] = self.bh.node_coords
-        if getattr(self.op, "qpts_grid", None) is not None:
-            # structured Pallas path: sources evaluated in grid order
-            self._consts["qpts_phys"] = self.op.qpts_grid
         if self._mg_builder is not None:
             self._consts["mg"] = self._mg_consts
 

@@ -63,7 +63,13 @@ class BoundaryHandler:
 
     # ------------------------------------------------------------------
     def _slip_axis(self, bid: int) -> int:
-        """Normal axis of an axis-aligned slip boundary."""
+        """Normal axis of an axis-aligned slip boundary.
+
+        The local-face-index heuristic alone is insufficient: a curved
+        boundary (O-grid cylinder surface) can present every face on one
+        local axis while the physical normals rotate — so we ALSO verify
+        geometrically that each face is a level set of the inferred axis.
+        """
         faces = self.space.boundary_faces.get(bid)
         if faces is None or len(faces) == 0:
             raise ValueError(f"slip bc {bid}: no faces")
@@ -72,7 +78,19 @@ class BoundaryHandler:
             raise NotImplementedError(
                 "slip on non-axis-aligned boundaries requires rotated "
                 "constraints (not yet implemented)")
-        return axes.pop()
+        axis = axes.pop()
+        space = self.space
+        basis = space.basis
+        xe = space.element_coords()
+        for (e, lf) in faces:
+            fx = xe[int(e), basis.face_nodes(int(lf))]      # [nfn, dim]
+            size = max(np.ptp(fx, axis=0).max(), 1e-30)
+            if np.ptp(fx[:, axis]) > 1e-8 * size:
+                raise NotImplementedError(
+                    f"slip bc {bid}: boundary face is not axis-aligned "
+                    f"(normal rotates away from axis {axis}); rotated "
+                    "slip constraints are not yet implemented")
+        return axis
 
     # ------------------------------------------------------------------
     def values(self, t=0.0, node_coords=None):

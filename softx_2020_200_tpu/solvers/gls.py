@@ -214,6 +214,8 @@ class GLSOperator:
         if getattr(self, "_pallas", None) is not None:
             out["pg_xe"] = self._pallas.xe_t
             out["pg_h"] = self._pallas.h_t
+        if getattr(self, "_sl_perm", None) is not None:
+            out["sl_perm"] = self._sl_perm
         return out
 
     def _assemble(self, r_el, C):
@@ -294,12 +296,11 @@ class GLSOperator:
                            lsic=self.stab.lsic, dtype=self.dtype,
                            interpret=interpret, elem_coords=xe_grid)
             self._pallas = pg
-            # quad-point coordinates in GRID element order: sources and
-            # MMS forcing evaluated on this path must use these
-            import numpy as _np
-            pts, wts, B, _, _ = self.space.basis.quadrature(n_q1d)
-            self.qpts_grid = jnp.asarray(
-                _np.einsum("qn,end->eqd", B, xe_grid), self.dtype)
+            # element permutation space->grid order: fq arrives in the
+            # space's element order (same as qpts_phys) and is permuted
+            # internally, so every consumer of this operator sees ONE
+            # element ordering
+            self._sl_perm = jnp.asarray(sl.elem_perm.astype(np.int32))
 
             def rows_from_list(lst):
                 arr = jnp.stack(lst, axis=0)          # [rows, E]
@@ -314,10 +315,14 @@ class GLSOperator:
             def residual_free(u, uprev_combo, fq, alpha0, sdt, C=None):
                 ue2 = rows_from_list(sl.gather_rows_list(u))
                 up2 = rows_from_list(sl.gather_rows_list(uprev_combo))
-                # fq arrives in GRID element order ([E, nq, d], see
-                # qpts_grid); row (q*d + i) = fq[:, q, i]
+                # fq arrives in SPACE element order ([E, nq, d], matching
+                # qpts_phys); permute to grid order for the strided path
+                perm = C.get("sl_perm") if C else None
+                if perm is None:
+                    perm = self._sl_perm
+                fqg = fq[perm]
                 fq2 = rows_from_list(
-                    [fq[:, q, i] for q in range(self.n_q)
+                    [fqg[:, q, i] for q in range(self.n_q)
                      for i in range(self.dim)])
                 xe2 = C.get("pg_xe") if C else None
                 h2 = C.get("pg_h") if C else None

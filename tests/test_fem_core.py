@@ -255,3 +255,23 @@ def test_face_normals_3d():
         np.testing.assert_allclose(np.asarray(n)[0, 0], exp, atol=1e-6)
         area = float(jnp.sum(meas * jnp.asarray(fwts)[None, :]))
         assert area == pytest.approx(4.0, rel=1e-6)
+
+
+def test_dedup_bin_straddle():
+    """Coincident-intent nodes straddling a quantization-bin boundary must
+    still merge (ADVICE r1: cracked meshes from inexact gmsh floats)."""
+    from softx_2020_200_tpu.fem.mesh import _dedup_nodes
+    tol = 1e-6
+    eps = 1e-13
+    # a pair straddling x = 0.5*tol, plus distinct far-away nodes
+    pts = np.array([
+        [0.5 * tol - eps, 0.25],
+        [0.5 * tol + eps, 0.25],
+        [1.0, 0.25],
+        [0.0, 1.0],
+    ])
+    uniq, inv = _dedup_nodes(pts, tol)
+    assert inv[0] == inv[1]
+    assert len(uniq) == 3
+    # distinct nodes stay distinct
+    assert len({inv[0], inv[2], inv[3]}) == 3
