@@ -242,7 +242,8 @@ class PallasGLS:
 
     def __init__(self, space, nu: float, n_q1d: int | None = None,
                  supg=True, pspg=True, gls_adjoint=True, lsic=False,
-                 dtype=jnp.float32, interpret=False, elem_coords=None):
+                 dtype=jnp.float32, interpret=False, elem_coords=None,
+                 n_elements: int | None = None):
         d = space.dim
         c = d + 1
         self.dim, self.nc = d, c
@@ -257,7 +258,9 @@ class PallasGLS:
         self.interpret = interpret
         self.flags = (supg, pspg, gls_adjoint, lsic)
 
-        E = space.n_elements
+        # n_elements overrides the batch size (sharded path: E = the
+        # per-shard padded element count, not the global space's)
+        E = n_elements if n_elements is not None else space.n_elements
         self.E = E
         self.Eg = (E + BLK - 1) // BLK
         Ep = self.Eg * BLK
@@ -273,20 +276,7 @@ class PallasGLS:
         # (elem_coords overrides the element ordering — structured path)
         xe = (elem_coords if elem_coords is not None
               else space.element_coords()).astype(np.float64)  # [E, nn, d]
-        ref = space.basis.nodes                                # [nn, d]
-        pad = np.broadcast_to(ref, (Ep - E, nn, d))
-        xep = np.concatenate([xe, pad], axis=0)
-        xe2 = np.transpose(xep, (1, 2, 0)).reshape(nn * d, self.Eg, S, L)
-        self.xe_t = jnp.asarray(xe2, dtype)
-
-        # element size h (geometry-only), padded with 1
-        vol = self._element_volumes(xe)
-        if d == 2:
-            h = np.sqrt(4.0 * vol / math.pi) / space.degree
-        else:
-            h = np.cbrt(6.0 * vol / math.pi) / space.degree
-        hp = np.concatenate([h, np.ones(Ep - E)])
-        self.h_t = jnp.asarray(hp.reshape(1, self.Eg, S, L), dtype)
+        self.xe_t, self.h_t = self.prep_geometry(xe)
 
         self._primal = self._make_call(tangent=False)
         self._tangent = self._make_call(tangent=True)
@@ -318,6 +308,32 @@ class PallasGLS:
             return residual_rows_g(ue2, up2, fq2, xe2, h2, alpha0, sdt)
 
         self.residual_rows = residual_rows
+
+    # ------------------------------------------------------------------
+    def prep_geometry(self, xe):
+        """Element coordinates [E, nn, d] -> row-layout geometry
+        (xe2 [nn*d, Eg, S, L], h2 [1, Eg, S, L]).
+
+        Host-side; used at init and per shard by the distributed path
+        (each shard has its own geometry but the same padded shape).
+        """
+        xe = np.asarray(xe, np.float64)
+        E, nn, d = xe.shape
+        if E != self.E:
+            raise ValueError(f"expected {self.E} elements, got {E}")
+        ref = self.space.basis.nodes                           # [nn, d]
+        pad = np.broadcast_to(ref, (self.Ep - E, nn, d))
+        xep = np.concatenate([xe, pad], axis=0)
+        xe2 = np.transpose(xep, (1, 2, 0)).reshape(nn * d, self.Eg, S, L)
+
+        vol = self._element_volumes(xe)
+        if d == 2:
+            h = np.sqrt(4.0 * vol / math.pi) / self.space.degree
+        else:
+            h = np.cbrt(6.0 * vol / math.pi) / self.space.degree
+        hp = np.concatenate([h, np.ones(self.Ep - E)])
+        h2 = hp.reshape(1, self.Eg, S, L)
+        return jnp.asarray(xe2, self.dtype), jnp.asarray(h2, self.dtype)
 
     # ------------------------------------------------------------------
     def _element_volumes(self, xe):
