@@ -84,7 +84,7 @@ subsection linear solver
   set verbosity = quiet
   set relative residual = 1e-4
   set minimum residual = 1e-30
-  set max krylov vectors = 25
+  set max krylov vectors = {m}
   set max iters = 400
 end
 """
@@ -92,7 +92,8 @@ end
 
 def main() -> int:
     n = int(os.environ.get("BENCH_N", "136"))
-    prm = SimulationParameters.from_text(DECK.format(n=n), dim=3)
+    sharded = os.environ.get("BENCH_SHARDED", "0") == "1"
+    prm = SimulationParameters.from_text(DECK.format(n=n, m=os.environ.get("BENCH_M", "25")), dim=3)
     t0 = time.time()
     s = GLSNavierStokesSolver(prm)
     setup_s = time.time() - t0
@@ -102,6 +103,48 @@ def main() -> int:
           f"setup={setup_s:.1f}s", flush=True)
 
     import jax.numpy as jnp
+
+    if sharded:
+        # the PRODUCTION path at scale: the sharded program measured on
+        # the available device(s) — on one chip this times the per-shard
+        # work of a P-chip run (halo ppermutes become self-copies)
+        from softx_2020_200_tpu.parallel.sharded import ShardedGLSSolver
+        t0 = time.time()
+        sh = ShardedGLSSolver.from_solver(s)
+        part_s = time.time() - t0
+        print(f"sharded setup (P={sh.n_shards}, kernel="
+              f"{'pallas' if sh._pallas else 'xla'}, precond="
+              f"{'gmg' if sh._mg_ops else sh.precond_kind}): "
+              f"{part_s:.1f}s", flush=True)
+        u0 = s.initial_condition()
+        u_stack = sh.to_local(np.asarray(u0))
+        combo = jnp.zeros((sh.n_shards, sh.layout.N_loc, 3),
+                          sh.dtype)
+        t0 = time.time()
+        out_ = sh.solve_local(u_stack, combo, t=0.0, alpha0=100.0,
+                              sdt=100.0)
+        nlin = int(np.asarray(out_[3])[0])
+        compile_s = time.time() - t0
+        n_rep = 3
+        t0 = time.time()
+        for _ in range(n_rep):
+            out_ = sh.solve_local(u_stack, combo, t=0.0, alpha0=100.0,
+                                  sdt=100.0)
+            nlin = int(np.asarray(out_[3])[0])
+        step_s = (time.time() - t0) / n_rep
+        out = {
+            "metric": "sec_per_newton_step_sharded",
+            "value": round(step_s, 3),
+            "unit": "s",
+            "n_dofs": n_dofs,
+            "n_shards": sh.n_shards,
+            "gmres_iters": nlin,
+            "sec_per_gmres_iter": round(step_s / max(nlin, 1), 5),
+            "compile_s": round(compile_s, 1),
+        }
+        print(json.dumps(out))
+        return 0
+
     u0 = s.initial_condition()
     prev = u0[:, :3]
     # one full Newton step (max iterations = 1), timed after compile

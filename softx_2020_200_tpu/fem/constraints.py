@@ -74,13 +74,16 @@ def build_hanging_constraints(space, nc_faces, dtype=None) -> HangingConstraints
             g = int(g)
             if g in coarse_set or g in rows:
                 continue
-            # position on the coarse face per tangent axis
+            # position on the coarse face per fine tangent axis, mapped
+            # through the (possibly rotated/flipped) face frame
             w = np.ones(len(coarse_nodes_l))
             for t_i, a in enumerate(taxes):
+                a2, flip, bit = f.tmap[t_i]
                 x_fine = pts_1d[ij[loc, a]]
-                x_coarse = (f.child_pos[t_i] + x_fine) / 2.0
+                x2 = 1.0 - x_fine if flip else x_fine
+                x_coarse = (bit + x2) / 2.0
                 l1d = basis.b1.eval(np.array([x_coarse]))[0]  # [n1d]
-                w = w * l1d[ij[coarse_nodes_l, a]]
+                w = w * l1d[ij[coarse_nodes_l, a2]]
             rows[g] = (coarse_g.astype(np.int64), w)
 
     if not rows:

@@ -10,9 +10,11 @@ array Mesh the rest of the framework consumes, together with the
 non-conforming face list that drives hanging-node constraints and the
 Kelly estimator.
 
-Assumption (holds for every generator in fem/mesh.py): adjacent base
-cells have CONSISTENT orientation — shared faces carry the same local
-coordinate frame.  This is asserted during adjacency construction.
+Adjacent base cells may carry ROTATED/FLIPPED local frames (the O-ring
+seam of the cylinder mesh, gmsh imports): every base-face pair stores a
+full tangent-frame transform (axis permutation + per-axis flip), applied
+when leaf coordinates cross the face — the forest analogue of p4est's
+face connectivity orientation codes.
 """
 
 from __future__ import annotations
@@ -29,13 +31,19 @@ Leaf = tuple  # (level, i0, i1[, i2]) — ints, i in [0, 2^level)
 @dataclass
 class NonConformingFace:
     """A coarse|fine interface: the coarse cell's face is covered by
-    2^(d-1) finer cell faces."""
+    2^(d-1) finer cell faces.
+
+    ``tmap`` describes the fine->coarse tangent frame, one entry per
+    FINE tangent axis in ascending order: (coarse_axis, flip, child_bit)
+    — a fine reference coordinate x along that fine axis sits at
+    coarse-face coordinate (child_bit + (1-x if flip else x)) / 2 along
+    coarse_axis.  For unrotated adjacency this reduces to the plain
+    child-position description."""
     coarse_elem: int          # element index in the built mesh
-    coarse_face: int
+    coarse_face: int          # in the COARSE cell's frame
     fine_elem: int
     fine_face: int
-    child_pos: tuple          # position of the fine face within the
-    #                           coarse face (per tangent axis, 0 or 1)
+    tmap: tuple               # ((coarse_axis, flip, child_bit), ...)
 
 
 class Forest:
@@ -49,7 +57,14 @@ class Forest:
 
     # ------------------------------------------------------------------
     def _build_adjacency(self):
-        """base cell adjacency: (b, face) -> (b', face') or None."""
+        """base cell adjacency with orientation: (b, face) ->
+        (b', face', perm, flip).
+
+        Crossing from cell b through `face` into b', leaf coordinates
+        transform as j'[perm[a]] = (n-1-j[a]) if flip[a] else j[a] for
+        every tangent axis a; the normal coordinate is set from face'.
+        perm/flip are derived from the shared corner vertices (p4est's
+        connectivity orientation, computed instead of encoded)."""
         base = self.base
         d = self.dim
         nc = 2 ** d
@@ -63,16 +78,47 @@ class Forest:
                        if corner_ij[i, axis] == (1 if side else 0)]
                 key = tuple(sorted(int(base.cells[b, i]) for i in sel))
                 faces.setdefault(key, []).append((b, f))
+
+        def transform(b1, f1, b2, f2):
+            """(perm, flip) for crossing b1 -> b2 through f1|f2."""
+            axis1, side1 = divmod(f1, 2)
+            axis2, side2 = divmod(f2, 2)
+            pos2 = {int(g): corner_ij[i]
+                    for i, g in enumerate(base.cells[b2])}
+
+            def corner1(bits):
+                want = [bits.get(a, 0) for a in range(d)]
+                for i in range(nc):
+                    if list(corner_ij[i]) == want:
+                        return int(base.cells[b1, i])
+                raise KeyError(bits)
+
+            g0 = corner1({axis1: side1})
+            p0 = pos2[g0]
+            perm = [-1] * d
+            flip = [False] * d
+            perm[axis1] = axis2
+            for a in range(d):
+                if a == axis1:
+                    continue
+                ga = corner1({axis1: side1, a: 1})
+                pa = pos2[ga]
+                diff = [i for i in range(d) if pa[i] != p0[i]]
+                if len(diff) != 1:
+                    raise ValueError(
+                        "degenerate base-face corner matching "
+                        f"between cells {b1} and {b2}")
+                a2 = diff[0]
+                perm[a] = a2
+                flip[a] = bool(pa[a2] == 0)
+            return tuple(perm), tuple(flip)
+
         adj = {}
         for key, lst in faces.items():
             if len(lst) == 2:
                 (b1, f1), (b2, f2) = lst
-                if f1 // 2 != f2 // 2:
-                    raise NotImplementedError(
-                        "base mesh with rotated cell adjacency is not "
-                        "supported by the forest yet")
-                adj[(b1, f1)] = (b2, f2)
-                adj[(b2, f2)] = (b1, f1)
+                adj[(b1, f1)] = (b2, f2) + transform(b1, f1, b2, f2)
+                adj[(b2, f2)] = (b1, f1) + transform(b2, f2, b1, f1)
         return adj
 
     # ------------------------------------------------------------------
@@ -107,23 +153,34 @@ class Forest:
 
     # ------------------------------------------------------------------
     def _neighbor(self, b: int, leaf: Leaf, face: int):
-        """Same-level neighbor coordinates across `face`, possibly in an
-        adjacent base cell.  Returns (b', leaf') or None at a domain
-        boundary."""
+        """Same-level neighbor across `face`, possibly in an adjacent
+        (possibly rotated) base cell.  Returns
+        (b', leaf', face', perm, flip) — face' is the neighbor's face at
+        the interface and (perm, flip) the b->b' tangent transform — or
+        None at a domain boundary."""
         d = self.dim
         lvl = leaf[0]
         n = 1 << lvl
         idx = list(leaf[1:])
         axis, side = divmod(face, 2)
+        ident = tuple(range(d))
+        noflip = (False,) * d
         idx[axis] += 1 if side else -1
         if 0 <= idx[axis] < n:
-            return b, (lvl, *idx)
+            return b, (lvl, *idx), face ^ 1, ident, noflip
         nb = self._adjacency.get((b, face))
         if nb is None:
             return None
-        b2, f2 = nb
-        idx[axis] = 0 if (f2 % 2 == 0) else n - 1
-        return b2, (lvl, *idx)
+        b2, f2, perm, flip = nb
+        axis2, side2 = divmod(f2, 2)
+        jd = [0] * d
+        for a in range(d):
+            if a == axis:
+                continue
+            a2 = perm[a]
+            jd[a2] = (n - 1 - leaf[1 + a]) if flip[a] else leaf[1 + a]
+        jd[axis2] = n - 1 if side2 else 0
+        return b2, (lvl, *jd), f2, perm, flip
 
     def _exists(self, b: int, leaf: Leaf) -> str:
         """'leaf' | 'finer' | 'coarser' | 'none'."""
@@ -176,15 +233,16 @@ class Forest:
         nb = self._neighbor(b, leaf, face)
         if nb is None:
             return False
-        b2, ncell = nb
+        b2, ncell, face2, _, _ = nb
         if not self._is_subdivided(b2, ncell):
             return False
         # ncell is subdivided once; a violation needs one of its children
-        # TOUCHING the shared face to be subdivided again
-        axis, side = divmod(face, 2)
-        want_bit = 0 if side else 1       # neighbor child facing back at us
+        # TOUCHING the shared face (the neighbor's face2) to be
+        # subdivided again
+        axis2, side2 = divmod(face2, 2)
+        want_bit = side2                  # neighbor child facing back at us
         for k, child in enumerate(self.children(ncell, self.dim)):
-            if ((k >> axis) & 1) == want_bit and \
+            if ((k >> axis2) & 1) == want_bit and \
                     self._is_subdivided(b2, child):
                 return True
         return False
@@ -228,7 +286,8 @@ class Forest:
             lo = np.array(leaf[1:], dtype=np.float64) * h
             ref = lo[None, :] + corner_ij * h            # [nc, d]
             verts[i] = place_nodes(
-                base, base.vertices[base.cells[b:b + 1]], ref)[0]
+                base, base.vertices[base.cells[b:b + 1]], ref,
+                elem_ids=[b])[0]
 
         flat = verts.reshape(-1, d)
         tol = _mesh_tolerance(base.vertices, base.cells) / \
@@ -256,7 +315,7 @@ class Forest:
                 nb = self._neighbor(b, leaf, face)
                 if nb is None:
                     continue
-                b2, nleaf = nb
+                b2, nleaf, face2, perm, flip = nb
                 status = self._exists(b2, nleaf)
                 if status == "coarser":
                     # this cell is the FINE side of a non-conforming face
@@ -264,17 +323,21 @@ class Forest:
                     while anc not in self.leaves[b2]:
                         anc = self.parent(anc, d)
                     coarse_elem = elem_of[(b2, anc)]
-                    # child position of this fine face within the coarse
-                    # face, per tangent axis
-                    dl = leaf[0] - anc[0]
+                    dl = nleaf[0] - anc[0]
                     if dl != 1:
                         raise RuntimeError("forest not 2:1 balanced")
-                    taxes = [a for a in range(d) if a != axis]
-                    pos = tuple((leaf[1 + a] % 2) for a in taxes)
+                    # fine->coarse tangent map: per fine tangent axis a,
+                    # the coarse axis perm[a], its flip, and the child
+                    # bit of the (virtual same-level) neighbor within
+                    # the coarse leaf along that coarse axis
+                    tmap = tuple(
+                        (perm[a], flip[a],
+                         nleaf[1 + perm[a]] - 2 * anc[1 + perm[a]])
+                        for a in range(d) if a != axis)
                     nc_faces.append(NonConformingFace(
                         coarse_elem=coarse_elem,
-                        coarse_face=(face ^ 1),
-                        fine_elem=i, fine_face=face, child_pos=pos))
+                        coarse_face=face2,
+                        fine_elem=i, fine_face=face, tmap=tmap))
         mesh = Mesh(dim=d, vertices=vertices, cells=cells,
                     boundary_faces=np.asarray(
                         bfaces, dtype=np.int64).reshape(-1, 3),

@@ -89,8 +89,12 @@ def _from_polar(pol: np.ndarray, center: np.ndarray) -> np.ndarray:
 
 
 def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
-                ref_nodes: np.ndarray) -> np.ndarray:
+                ref_nodes: np.ndarray, elem_ids=None) -> np.ndarray:
     """Map reference nodes into every cell, honoring manifolds.
+
+    ``elem_ids`` maps rows of ``corner_coords`` to the mesh's element
+    indices when only a subset of cells is passed (forest path:
+    per-base-cell leaf placement); default is the identity.
 
     corner_coords: [E, 2^dim, dim] cell corner positions.
     ref_nodes:     [nn, dim] reference coordinates in [0,1]^dim.
@@ -126,27 +130,37 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
     nodes = np.einsum("nc,ecd->end", w, corner_coords)
 
     # boundary-attached spherical manifolds: radially project nodes lying on
-    # tagged faces (used for cylinder/sphere surfaces inside channel meshes)
+    # tagged faces (used for cylinder/sphere surfaces inside channel meshes).
+    # On-face detection is by REFERENCE COORDINATE (0 or 1 along the face
+    # axis), not lattice index — ref_nodes may be a leaf SUB-lattice of the
+    # cell (forest path), where only ref value 0/1 touches the cell face.
     if mesh.boundary_manifolds:
-        from .basis import _lex_indices  # local import to avoid cycle
-        n1d = int(round(nn ** (1.0 / dim)))
-        ij = _lex_indices(n1d, dim)
+        idmap = None
+        if elem_ids is not None:
+            idmap = {int(e): i for i, e in enumerate(elem_ids)}
+        eps = 1e-12
         for (e, lf, bid) in mesh.boundary_faces:
             man = mesh.boundary_manifolds.get(int(bid))
             if man is None or man.type != "spherical":
                 continue
+            row = int(e) if idmap is None else idmap.get(int(e))
+            if row is None:
+                continue
             axis, side = divmod(int(lf), 2)
-            target = 0 if side == 0 else n1d - 1
-            sel = np.nonzero(ij[:, axis] == target)[0]
-            pts = nodes[e, sel]
+            target = 1.0 if side else 0.0
+            sel = np.nonzero(
+                np.abs(ref_nodes[:, axis] - target) < eps)[0]
+            if sel.size == 0:
+                continue
+            pts = nodes[row, sel]
             rel = pts - man.center
             rad = np.linalg.norm(rel, axis=-1, keepdims=True)
-            # project to the radius of the original corner vertices (they
-            # already sit on the manifold)
-            corner_sel = [s for s in sel if np.all((ij[s] == 0) | (ij[s] == n1d - 1))]
-            r_target = np.mean(np.linalg.norm(nodes[e, corner_sel] - man.center,
-                                              axis=-1))
-            nodes[e, sel] = man.center + rel / rad * r_target
+            # project to the manifold radius given by the CELL's corner
+            # vertices on that face (they already sit on the manifold)
+            c_sel = [c for c in range(nc) if ((c >> axis) & 1) == side]
+            r_target = np.mean(np.linalg.norm(
+                corner_coords[row, c_sel] - man.center, axis=-1))
+            nodes[row, sel] = man.center + rel / rad * r_target
     return nodes
 
 

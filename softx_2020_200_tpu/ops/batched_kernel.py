@@ -177,12 +177,18 @@ def element_matrices_batched(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
 
 def node_blocks_batched(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
                         alpha0, sdt, target_chunk: int = 65536):
-    """Node-diagonal Jacobian blocks only: [E, nn, c, c].
+    """Node-diagonal Jacobian blocks only: [E, nn, c*c] (row-major
+    (i, j) pairs in the last axis).
 
-    blocks[e, n, i, j] = d r[n, i] / d ue[n, j] — all that block-Jacobi
+    blocks[e, n, i*c+j] = d r[n, i] / d ue[n, j] — all that block-Jacobi
     needs, at a fraction of the memory of the full element matrices.
     The element batch is processed in chunks (lax.map over E-blocks) so
     the jvp's kernel intermediates stay bounded at large E.
+
+    Layout note: the output keeps nn*c*c flattened in the MINOR axes (a
+    [E, nn, c, c] result tempts XLA into a (…, nn, c, c) layout whose
+    8x128 tiling pads the c=4 lane dim 32x — a 20 GB copy at 2.5M
+    elements).
     """
     nn, c, E = ue_soa.shape
 
@@ -224,8 +230,66 @@ def node_blocks_batched(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
             return out[n0]                               # [c, Ec]
 
         cols = jax.lax.map(probe, jnp.arange(nn * c))    # [nn*c, c, Ec]
-        blocks = cols.reshape(nn, c, c, Ec)
-        return jnp.transpose(blocks, (3, 0, 2, 1))       # [Ec, n, i, j]
+        blocks = cols.reshape(nn, c, c, Ec)              # [n, j, i, Ec]
+        blocks = jnp.transpose(blocks, (3, 0, 2, 1))     # [Ec, n, i, j]
+        return blocks.reshape(Ec, nn * c * c)
 
     out = jax.lax.map(chunk_blocks, (ue_c, xe_c, up_c, fq_c))
-    return out.reshape(Ep, nn, c, c)[:E]
+    return out.reshape(Ep, nn, c * c)[:E]
+
+
+def node_blocks_batched_bm(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
+                           alpha0, sdt, target_chunk: int = 65536):
+    """Node-diagonal Jacobian blocks, BATCH-MINOR: [c*c, nn, E] with the
+    (i, j) pair row-major in the leading axis.
+
+    Same probes as :func:`node_blocks_batched`; this layout keeps the
+    element axis minor end-to-end so no [., ., c, c] tensor (whose tiny
+    minor dims tile-pad up to 32x) ever materializes.
+    """
+    nn, c, E = ue_soa.shape
+
+    n_chunks = max(1, int(np.ceil(E / target_chunk)))
+    Ec = int(np.ceil(E / n_chunks))
+    Ep = n_chunks * Ec
+
+    def padE(a):
+        pad = Ep - a.shape[-1]
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1)
+        return a.reshape(a.shape[:-1] + (n_chunks, Ec))
+
+    ue_c = jnp.moveaxis(padE(ue_soa), -2, 0)       # [K, nn, c, Ec]
+    xe_c = jnp.moveaxis(padE(xe_soa), -2, 0)
+    up_c = jnp.moveaxis(padE(uprev_soa), -2, 0)
+    fq_c = jnp.moveaxis(padE(fq_soa), -2, 0)
+    if Ep != E:
+        tail = jnp.broadcast_to(
+            xe_soa[:, :, :1],
+            (xe_soa.shape[0], xe_soa.shape[1], Ep - E))
+        last = jnp.concatenate(
+            [xe_soa[:, :, (n_chunks - 1) * Ec:], tail], axis=-1)
+        xe_c = xe_c.at[-1].set(last)
+
+    def chunk_blocks(args):
+        ue_k, xe_k, up_k, fq_k = args
+
+        def probe(k):
+            n0, j = k // c, k % c
+            tangent = jnp.zeros((nn, c, 1), ue_soa.dtype) \
+                .at[n0, j, 0].set(1.0)
+            tangent = tangent * jnp.ones((1, 1, Ec), ue_soa.dtype)
+            f = lambda u: kernel(u, xe_k, up_k, fq_k, alpha0, sdt)
+            out = jax.jvp(f, (ue_k,), (tangent,))[1]     # [nn, c, Ec]
+            return out[n0]                               # [c(i), Ec]
+
+        cols = jax.lax.map(probe, jnp.arange(nn * c))    # [(n,j), i, Ec]
+        blk = cols.reshape(nn, c, c, Ec)                 # [n, j, i, Ec]
+        blk = jnp.transpose(blk, (2, 1, 0, 3))           # [i, j, n, Ec]
+        return blk.reshape(c * c, nn, Ec)
+
+    out = jax.lax.map(chunk_blocks, (ue_c, xe_c, up_c, fq_c))
+    # [K, cc, nn, Ec] -> [cc, nn, K*Ec] -> drop padding
+    out = jnp.moveaxis(out, 0, 2).reshape(c * c, nn, Ep)
+    return out[:, :, :E]

@@ -117,12 +117,14 @@ def partition_space(space, n_shards: int) -> ShardLayout:
 
     l2g = np.full((P, N_loc), -1, dtype=np.int64)
     owned_mask = np.zeros((P, N_loc), dtype=np.float64)
-    g2l = [dict() for _ in range(P)]
+    # vectorized global->local maps (per-node dicts are O(N) python —
+    # unusable at the 10M-DoF scale this path exists for)
+    g2l_arr = np.full((P, space.n_nodes), trash, dtype=np.int32)
     for p in range(P):
         v = locals_g[p]
         l2g[p, :len(v)] = v
         owned_mask[p, :len(v)] = (owner[v] == p)
-        g2l[p] = {int(g): i for i, g in enumerate(v)}
+        g2l_arr[p, v] = np.arange(len(v), dtype=np.int32)
 
     en_loc = np.full((P, E_loc, nn), trash, dtype=np.int32)
     ev = np.zeros((P, E_loc), dtype=np.float64)
@@ -134,8 +136,7 @@ def partition_space(space, n_shards: int) -> ShardLayout:
     xe[:] = ref_nodes[None, None, :, :]
     for p in range(P):
         es = shard_elems[p]
-        for k, e in enumerate(es):
-            en_loc[p, k] = [g2l[p][int(g)] for g in elem_nodes[e]]
+        en_loc[p, :len(es)] = g2l_arr[p, elem_nodes[es]]
         ev[p, :len(es)] = 1.0
         xe[p, :len(es)] = coords[es]
 
@@ -159,8 +160,8 @@ def partition_space(space, n_shards: int) -> ShardLayout:
         valid = np.zeros((P, S), dtype=np.float64)
         for p, ghosts in pairs:
             q = p + delta
-            send_idx[p, :len(ghosts)] = [g2l[p][int(g)] for g in ghosts]
-            recv_idx[q, :len(ghosts)] = [g2l[q][int(g)] for g in ghosts]
+            send_idx[p, :len(ghosts)] = g2l_arr[p, ghosts]
+            recv_idx[q, :len(ghosts)] = g2l_arr[q, ghosts]
             valid[q, :len(ghosts)] = 1.0
         exchanges.append(Exchange(delta=delta, send_idx=send_idx,
                                   recv_idx=recv_idx, valid=valid))

@@ -128,16 +128,34 @@ class ShardedGLSSolver:
             (self.n_shards, L.N_loc, self.nc), dtype)
 
         # ---------------- per-shard constants (spec P(AXIS)) ----------
+        # LAYOUT RULE (measured, see node_blocks_batched docstring): any
+        # device array whose two MINOR dims are small gets 8x128 tile
+        # padding (up to 42x memory at rest).  Everything elementwise or
+        # gathered here is therefore stored batch-minor (big axis last)
+        # or flat-2D [big, small<=4].
+        E_loc, nn = L.E_loc, L.nn
+        M = L.assembly_idx.shape[-1]
+        # assembly map, transposed and re-indexed for batch-minor rows:
+        # original idx v = e*nn + n (pad E*nn); bm flat index n*E + e
+        # (pad nn*E)
+        v = L.assembly_idx                                # [P, N, M]
+        pad = E_loc * nn
+        amap_bm = np.where(v < pad, (v % nn) * E_loc + v // nn, pad)
         C = {
-            "elem_nodes": jnp.asarray(L.elem_nodes),       # [P,E,nn] i32
+            # element connectivity, node-major: en_t[p, n] = [E] node ids
+            "en_t": jnp.asarray(np.transpose(
+                L.elem_nodes, (0, 2, 1)).copy()),         # [P,nn,E] i32
             "elem_valid": jnp.asarray(L.elem_valid, dtype),
-            "xe": jnp.asarray(L.xe, dtype),
+            "xe_soa": jnp.asarray(np.transpose(
+                L.xe, (0, 2, 3, 1)).copy(), dtype),       # [P,nn,d,E]
             "owned": jnp.asarray(L.owned_mask, dtype),
-            "amap": jnp.asarray(L.assembly_idx),           # [P,N,M] i32
+            "amap_bm": jnp.asarray(np.transpose(
+                amap_bm, (0, 2, 1)).astype(np.int32).copy()),  # [P,M,N]
             "coords": jnp.asarray(L.to_local(space.nodes), dtype),
-            # quadrature-point coordinates per local element (source eval)
-            "qpts": jnp.asarray(
-                np.einsum("qn,pend->peqd", B, L.xe), dtype),
+            # quadrature-point coordinates, batch-minor [P, d, nq*E]
+            "qpts_bm": jnp.asarray(
+                np.einsum("qn,pend->pdqe", B, L.xe).reshape(
+                    self.n_shards, space.dim, -1), dtype),
         }
         for k, ex in enumerate(L.exchanges):
             C[f"send{k}"] = jnp.asarray(ex.send_idx)
@@ -148,14 +166,13 @@ class ShardedGLSSolver:
         self._bc_exprs = []
         trash = L.N_loc - 1
         if bc_exprs:
-            g2slot = self._global_to_slot()
+            g2slot = self._global_to_slot()          # [P, N] int32
             for bi, (gids, exprs) in enumerate(bc_exprs):
-                slots = np.full((self.n_shards, max(1, len(gids))), trash,
-                                dtype=np.int32)
-                for p in range(self.n_shards):
-                    s = g2slot[p]
-                    loc = [s.get(int(g), trash) for g in gids]
-                    slots[p, :len(loc)] = loc
+                gids = np.asarray(gids, dtype=np.int64)
+                if gids.size == 0:
+                    slots = np.full((self.n_shards, 1), trash, np.int32)
+                else:
+                    slots = g2slot[:, gids]
                 C[f"bc_slots{bi}"] = jnp.asarray(slots)
                 self._bc_exprs.append(exprs)
 
@@ -185,6 +202,20 @@ class ShardedGLSSolver:
             level_ops, mg_consts = mg
             self._mg_ops = list(level_ops[1:])
             self._mg_rep = [dict(m) for m in mg_consts[1:]]
+            if self._pallas is not None:
+                # the coarse levels' XLA kernel jvp materializes
+                # padded [q, E, d, c] temps (42x, gigabytes at level 1
+                # of a 10M-DoF run) — run them through pallas too
+                for li, op in enumerate(self._mg_ops):
+                    if getattr(op, "_pallas", None) is None:
+                        op.enable_pallas(
+                            interpret=(kernel == "pallas_interpret"))
+                    self._mg_rep[li] = dict(
+                        op.consts(),
+                        **{k: self._mg_rep[li][k]
+                           for k in ("bh_mask", "masters", "weights",
+                                     "inject")
+                           if k in self._mg_rep[li]})
             self._wire_mg_transfers(C, mg_consts)
             import dataclasses as _dc
             self.newton_cfg = _dc.replace(self.newton_cfg, flexible=True)
@@ -193,8 +224,22 @@ class ShardedGLSSolver:
 
         self._C = C
         self._spec_C = {k: P(AXIS) for k in C}
-        self._step = jax.jit(self._build_step())
-        self._tstep = jax.jit(self._build_transient_step())
+        raw = self._build_step()
+        self._step_jit = jax.jit(raw)
+        self._tstep_jit = jax.jit(self._build_transient_step(raw))
+
+        def step(u_stack, combo_stack, mask_stack, vals_stack, t, alpha0,
+                 sdt):
+            return self._step_jit(u_stack, combo_stack, mask_stack,
+                                  vals_stack, t, alpha0, sdt,
+                                  self._consts_full())
+
+        def tstep(u, prevs, mask, vals0, t, alphas, sdt):
+            return self._tstep_jit(u, prevs, mask, vals0, t, alphas, sdt,
+                                   self._consts_full())
+
+        self._step = step
+        self._tstep = tstep
 
     # ------------------------------------------------------------------
     @classmethod
@@ -235,11 +280,16 @@ class ShardedGLSSolver:
 
     # ------------------------------------------------------------------
     def _global_to_slot(self):
+        """[P, N_global] int32: local slot of each global node per shard
+        (the trash slot where the node is absent)."""
         L = self.layout
-        out = []
+        trash = L.N_loc - 1
+        out = np.full((self.n_shards, self.space.n_nodes), trash,
+                      dtype=np.int32)
         for p in range(self.n_shards):
             v = L.l2g[p]
-            out.append({int(g): i for i, g in enumerate(v) if g >= 0})
+            ok = v >= 0
+            out[p, v[ok]] = np.nonzero(ok)[0].astype(np.int32)
         return out
 
     def _wire_mg_transfers(self, C, mg_consts):
@@ -261,30 +311,32 @@ class ShardedGLSSolver:
             ml[p, v] = masters[L.l2g[p, v]]
             wl[p, v] = weights[L.l2g[p, v]]
         wl[:, trash] = 0.0
-        C["mg_masters"] = jnp.asarray(ml)
-        C["mg_weights"] = jnp.asarray(wl, self.dtype)
+        # master-major (batch-minor) storage: [P, m, N_loc]
+        C["mg_masters"] = jnp.asarray(
+            np.transpose(ml, (0, 2, 1)).copy())
+        C["mg_weights"] = jnp.asarray(
+            np.transpose(wl, (0, 2, 1)).copy(), self.dtype)
 
         # injection: coarse node k samples fine node inject[k]; each fine
         # node is OWNED by exactly one shard -> per-shard (rows, slots)
-        owner_slot = {}
+        owner_arr = np.full(self.space.n_nodes, -1, np.int64)
+        slot_arr = np.full(self.space.n_nodes, trash, np.int64)
         own = L.owned_mask > 0
         for p in range(self.n_shards):
             ids = L.l2g[p, own[p]]
-            slots = np.nonzero(own[p])[0]
-            for g, s in zip(ids, slots):
-                owner_slot[int(g)] = (p, int(s))
-        rows = [[] for _ in range(self.n_shards)]
-        slots = [[] for _ in range(self.n_shards)]
-        for k, g in enumerate(inject):
-            p, s = owner_slot[int(g)]
-            rows[p].append(k)
-            slots[p].append(s)
-        K = max(1, max(len(r) for r in rows))
+            owner_arr[ids] = p
+            slot_arr[ids] = np.nonzero(own[p])[0]
+        inj_owner = owner_arr[inject]
+        inj_slot = slot_arr[inject]
+        counts = [int(np.sum(inj_owner == p))
+                  for p in range(self.n_shards)]
+        K = max(1, max(counts))
         inj_rows = np.full((self.n_shards, K), Nc, np.int32)  # pad row Nc
         inj_slots = np.full((self.n_shards, K), trash, np.int32)
         for p in range(self.n_shards):
-            inj_rows[p, :len(rows[p])] = rows[p]
-            inj_slots[p, :len(slots[p])] = slots[p]
+            sel = np.nonzero(inj_owner == p)[0]
+            inj_rows[p, :len(sel)] = sel
+            inj_slots[p, :len(sel)] = inj_slot[sel]
         C["mg_inj_rows"] = jnp.asarray(inj_rows)
         C["mg_inj_slots"] = jnp.asarray(inj_slots)
         self._mg_nc1 = Nc
@@ -313,6 +365,7 @@ class ShardedGLSSolver:
         nn = self.nn
         deltas = self._deltas
         n_ex = len(deltas)
+        n_q = self.n_q
         batched = self._batched
         pg = self._pallas
         source_fn = self.source_fn
@@ -325,19 +378,34 @@ class ShardedGLSSolver:
             return [(i, (i + delta) % Pn) for i in range(Pn)]
 
         def make_local_fns(C):
-            elem_nodes = C["elem_nodes"]
-            elem_valid = C["elem_valid"]
-            owned = C["owned"]
-            amap_idx = C["amap"]
+            en_t = C["en_t"]                     # [nn, E]
+            elem_valid = C["elem_valid"]         # [E]
+            owned = C["owned"]                   # [N]
+            amap_bm = C["amap_bm"]               # [M, N]
+            xe_soa = C["xe_soa"]                 # [nn, d, E]
             sends = [C[f"send{k}"] for k in range(n_ex)]
             recvs = [C[f"recv{k}"] for k in range(n_ex)]
+            M = amap_bm.shape[0]
+            E = en_t.shape[-1]
 
-            def assemble(r_el):
-                c = r_el.shape[-1]
-                flat = r_el.reshape(-1, c)
+            def gather_soa(u, ncomp):
+                """u[N, c*] -> SoA [nn, ncomp, E] via per-node gathers
+                (a direct u[elem_nodes] materializes [E, nn, c] whose
+                tiny minor dims tile-pad 32x at rest)."""
+                return jnp.stack(
+                    [u[en_t[n], :ncomp].T for n in range(nn)])
+
+            def assemble_bm(r_bm):
+                """[c*, nn, E] element rows -> assembled [c*, N]
+                (gathers on the MINOR axis; index n*E + e)."""
+                cstar = r_bm.shape[0]
+                flat = r_bm.reshape(cstar, nn * E)
                 flat = jnp.concatenate(
-                    [flat, jnp.zeros((1, c), flat.dtype)], axis=0)
-                return jnp.sum(flat[amap_idx], axis=1)
+                    [flat, jnp.zeros((cstar, 1), flat.dtype)], axis=1)
+                out = flat[:, amap_bm[0]]
+                for m in range(1, M):
+                    out = out + flat[:, amap_bm[m]]
+                return out
 
             def zero_trash(a):
                 return a.at[trash].set(0.0)
@@ -356,58 +424,68 @@ class ShardedGLSSolver:
                     r = r.at[send_i].add(got)
                 return zero_trash(r)
 
-            def kernel_el(ue, upe, fq, alpha0, sdt):
-                """[E, nn, c] local element residuals (pallas or XLA)."""
+            def rows_from_soa(soa):
+                """[k1, k2, E] -> pallas row layout [k1*k2, Eg, S, L]."""
+                k = soa.shape[0] * soa.shape[1]
+                flat = soa.reshape(k, E)
+                padn = pg.Ep - E
+                if padn:
+                    flat = jnp.concatenate(
+                        [flat, jnp.zeros((k, padn), flat.dtype)], axis=1)
+                from ..ops.pallas_gls import S as _S, L as _L
+                return flat.reshape(k, pg.Eg, _S, _L)
+
+            def kernel_soa(ue_soa, upe_soa, fq_soa, alpha0, sdt):
+                """SoA residual [nn, c, E] (pallas or XLA path)."""
                 if pg is not None:
                     r2 = pg.residual_rows(
-                        pg.to_rows(ue), pg.to_rows(upe), pg.to_rows(fq),
-                        alpha0, sdt, xe2=C["pg_xe"], h2=C["pg_h"])
-                    return pg.from_rows(r2).reshape(ue.shape)
-                r = batched(jnp.transpose(ue, (1, 2, 0)),
-                            jnp.transpose(C["xe"], (1, 2, 0)),
-                            jnp.transpose(upe, (1, 2, 0)),
-                            jnp.transpose(fq, (1, 2, 0)), alpha0, sdt)
-                return jnp.transpose(r, (2, 0, 1))
+                        rows_from_soa(ue_soa), rows_from_soa(upe_soa),
+                        rows_from_soa(fq_soa), alpha0, sdt,
+                        xe2=C["pg_xe"], h2=C["pg_h"])
+                    return r2.reshape(nn, nc, pg.Ep)[:, :, :E]
+                return batched(ue_soa, xe_soa, upe_soa, fq_soa,
+                               alpha0, sdt)
 
-            def residual(u, bc_mask, uprev, fq, alpha0, sdt):
+            def residual(u, bc_mask, uprev, fq_soa, alpha0, sdt):
                 u = refresh(u)
-                ue = u[elem_nodes]
-                upe = refresh(uprev)[elem_nodes]
-                r_el = kernel_el(ue, upe, fq, alpha0, sdt)
-                r_el = r_el * elem_valid[:, None, None]
-                r = combine(assemble(r_el)) * owned[:, None]
+                ue = gather_soa(u, nc)
+                upe = gather_soa(refresh(uprev), d)
+                r = kernel_soa(ue, upe, fq_soa, alpha0, sdt)
+                r = r * elem_valid
+                r = assemble_bm(jnp.transpose(r, (1, 0, 2)))   # [c, N]
+                r = combine(r.T) * owned[:, None]
                 return jnp.where(bc_mask, 0.0, r)
 
-            def node_block_inv(u, bc_mask, uprev, fq, alpha0, sdt):
-                """Per-node (d+1)x(d+1) inverse blocks [N_loc, c, c] via
-                jvp probes of the batched kernel (the single-device fast
-                path, sharded)."""
-                from ..ops.batched_kernel import node_blocks_batched
+            def node_block_inv(u, bc_mask, uprev, fq_soa, alpha0, sdt):
+                """Per-node (d+1)x(d+1) INVERSE blocks, batch-minor
+                [c, c, N_loc] — jvp probes of the batched kernel (the
+                single-device fast path, sharded).  Batch-minor storage
+                keeps the persistent Krylov-loop state exactly tiled."""
+                from ..ops.batched_kernel import node_blocks_batched_bm
+                from ..ops.smallmat import det_bm, inv_bm
                 u = refresh(u)
-                ue = u[elem_nodes]
-                upe = refresh(uprev)[elem_nodes]
-                blocks_el = node_blocks_batched(
-                    batched, jnp.transpose(ue, (1, 2, 0)),
-                    jnp.transpose(C["xe"], (1, 2, 0)),
-                    jnp.transpose(upe, (1, 2, 0)),
-                    jnp.transpose(fq, (1, 2, 0)), alpha0, sdt)
-                blocks_el = blocks_el * elem_valid[:, None, None, None]
-                me = bc_mask.astype(dtype)[elem_nodes]          # [E,nn,c]
-                keep = 1.0 - me
-                blocks_el = blocks_el * keep[..., :, None] \
-                    * keep[..., None, :]
-                E = blocks_el.shape[0]
-                blocks = combine(assemble(
-                    blocks_el.reshape(E, nn, nc * nc)))
-                blocks = blocks.reshape(-1, nc, nc)
-                eye = jnp.eye(nc, dtype=dtype)
+                ue = gather_soa(u, nc)
+                upe = gather_soa(refresh(uprev), d)
+                blocks_el = node_blocks_batched_bm(
+                    batched, ue, xe_soa, upe, fq_soa, alpha0, sdt)
+                # [cc, nn, E] * validity and Dirichlet keep masks
+                blocks_el = blocks_el * elem_valid
+                mk = 1.0 - bc_mask.astype(dtype)                # [N, c]
+                keep = jnp.stack(
+                    [mk[en_t[n]].T for n in range(nn)], axis=1)
+                # keep[c, nn, E]; keep2[(i,j)] = keep_i * keep_j
+                keep2 = jnp.concatenate(
+                    [keep[i][None] * keep for i in range(nc)], axis=0)
+                blocks = assemble_bm(blocks_el * keep2)         # [cc, N]
+                blocks = combine(blocks.T).T.reshape(nc, nc, -1)
                 # constrained components act as identity
-                blocks = blocks + jnp.einsum(
-                    "ni,ij->nij", bc_mask.astype(dtype), eye)
-                deg = (jnp.abs(jnp.linalg.det(blocks)) < 1e-300) | \
-                    (owned < 0.5)
-                blocks = jnp.where(deg[:, None, None], eye[None], blocks)
-                return jnp.linalg.inv(blocks)
+                mrow = bc_mask.astype(dtype)
+                for i in range(nc):
+                    blocks = blocks.at[i, i].add(mrow[:, i])
+                deg = (jnp.abs(det_bm(blocks)) < 1e-300) | (owned < 0.5)
+                eye_bm = jnp.eye(nc, dtype=dtype)[:, :, None]
+                blocks = jnp.where(deg[None, None, :], eye_bm, blocks)
+                return inv_bm(blocks)
 
             return residual, node_block_inv
 
@@ -419,14 +497,16 @@ class ShardedGLSSolver:
                              residual, node_block_inv, reduce_fn,
                              n_smooth: int = 1, omega: float = 0.7):
             from ..ops.multigrid import make_vcycle
+            from ..ops.smallmat import apply_bm
             mg_rep = C["mg_rep"]
             owned = C["owned"]
-            masters = C["mg_masters"]         # [N_loc, nn_c] coarse ids
-            weights = C["mg_weights"]
+            masters = C["mg_masters"]         # [nn_c, N_loc] coarse ids
+            weights = C["mg_weights"]         # [nn_c, N_loc]
             inj_rows = C["mg_inj_rows"]
             inj_slots = C["mg_inj_slots"]
             mask1 = mg_rep[0]["bh_mask"]
             op1 = mg_ops[0]
+            nm = masters.shape[0]
 
             def to_coarse_state(a):
                 """Replicated [Nc1, c] from shard-local rows via psum
@@ -440,8 +520,7 @@ class ShardedGLSSolver:
                 binv = node_block_inv(u, bc_mask, combo, fq, alpha0, sdt)
 
                 def smooth(r):
-                    return jnp.einsum("nij,nj->ni", binv, r) \
-                        * owned[:, None]
+                    return apply_bm(binv, r) * owned[:, None]
 
                 def matvec(v):
                     f = lambda w: residual(w, bc_mask, combo, fq,
@@ -462,14 +541,16 @@ class ShardedGLSSolver:
                     for _ in range(n_smooth - 1):
                         z = z + omega * smooth(r - matvec(z))
                     res = r - matvec(z)
+                    res = res * owned[:, None]
                     rc = jnp.zeros((mg_nc1, r.shape[-1]), r.dtype)
-                    rc = rc.at[masters].add(
-                        weights[:, :, None]
-                        * (res * owned[:, None])[:, None])
+                    for m in range(nm):
+                        rc = rc.at[masters[m]].add(
+                            weights[m][:, None] * res)
                     rc = reduce_fn(rc)
                     rc = jnp.where(mask1, 0.0, rc)
                     zc = coarse_apply(rc)
-                    zf = jnp.einsum("nm,nmc->nc", weights, zc[masters])
+                    zf = sum(weights[m][:, None] * zc[masters[m]]
+                             for m in range(nm))
                     z = z + jnp.where(bc_mask, 0.0, zf) * owned[:, None]
                     z = z + omega * smooth(r - matvec(z))
                     return z
@@ -500,12 +581,19 @@ class ShardedGLSSolver:
             vals = vals.at[trash].set(0.0)
             u = jnp.where(mask, vals, u)
 
-            fq = (source_fn(C["qpts"], t) if source_fn is not None
-                  else jnp.zeros(C["qpts"].shape[:2] + (d,), dtype))
-            fq = fq.astype(dtype)
+            # body force at shard-local quadrature points, SoA [nq, d, E]
+            qb = C["qpts_bm"]                        # [d, nq*E]
+            E_l = qb.shape[-1] // n_q
+            if source_fn is not None:
+                f = source_fn(qb.T, t).astype(dtype)     # [nq*E, d]
+                fq = jnp.transpose(
+                    f.T.reshape(d, n_q, E_l), (1, 0, 2))
+            else:
+                fq = jnp.zeros((n_q, d, E_l), dtype)
 
             res_fn = lambda v: residual(v, mask, combo, fq, alpha0, sdt)
 
+            from ..ops.smallmat import apply_bm
             if use_mg:
                 precond_builder = make_gmg_builder(
                     C, mask, combo, fq, alpha0, sdt,
@@ -514,7 +602,8 @@ class ShardedGLSSolver:
                 def precond_builder(v):
                     binv = node_block_inv(v, mask, combo, fq,
                                           alpha0, sdt)
-                    dinv = jnp.diagonal(binv, axis1=1, axis2=2)
+                    dinv = jnp.stack([binv[i, i] for i in range(nc)],
+                                     axis=-1)            # [N, c]
 
                     def apply(w):
                         return w * dinv * C["owned"][:, None]
@@ -525,8 +614,7 @@ class ShardedGLSSolver:
                                           alpha0, sdt)
 
                     def apply(w):
-                        z = jnp.einsum("nij,nj->ni", binv, w)
-                        return z * C["owned"][:, None]
+                        return apply_bm(binv, w) * C["owned"][:, None]
                     return apply
 
             out = newton_solve(res_fn, u, precond_builder=precond_builder,
@@ -534,31 +622,28 @@ class ShardedGLSSolver:
             return (out.u[None], out.res_history[None],
                     out.n_iterations[None], out.linear_iters[None])
 
-        sharded = shard_map(
+        # the shard_map-wrapped raw function: consts arrive as ARGUMENTS
+        # (closing over them inside jit would embed every index/geometry
+        # array as an HLO literal — O(N) module text, and the remote
+        # compiler rejects the oversized program)
+        return shard_map(
             local_step, self.mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(),
                       self._spec_full()),
             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)))
 
-        def step(u_stack, combo_stack, mask_stack, vals_stack, t, alpha0,
-                 sdt):
-            return sharded(u_stack, combo_stack, mask_stack, vals_stack,
-                           t, alpha0, sdt, self._consts_full())
-
-        return step
-
     # ------------------------------------------------------------------
-    def _build_transient_step(self):
+    def _build_transient_step(self, raw_step):
         """One BDF step on stacked state: combo from the history inside
         jit, then the sharded Newton solve, then history rotation."""
         d = self.dim
 
-        def tstep(u, prevs, mask, vals0, t, alphas, sdt):
+        def tstep(u, prevs, mask, vals0, t, alphas, sdt, C):
             combo = (alphas[1] * prevs[0][..., :d]
                      + alphas[2] * prevs[1][..., :d]
                      + alphas[3] * prevs[2][..., :d])
-            u_new, hist, iters, lin = self._step(
-                u, combo, mask, vals0, t, alphas[0], sdt)
+            u_new, hist, iters, lin = raw_step(
+                u, combo, mask, vals0, t, alphas[0], sdt, C)
             prevs_new = jnp.stack([u_new, prevs[0], prevs[1]])
             return u_new, prevs_new, hist, iters, lin
 

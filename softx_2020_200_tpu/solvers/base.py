@@ -115,7 +115,8 @@ class GLSNavierStokesSolver:
                     self._mesh.periodic.append(pair)
 
         self.space = FESpace(self._mesh, prm.fem.velocity_order)
-        self.hc = build_hanging_constraints(self.space, nc_faces or [])
+        self._nc_faces = nc_faces or []
+        self.hc = build_hanging_constraints(self.space, self._nc_faces)
         stab = StabFlags(
             supg=prm.stabilization.supg,
             pspg=prm.stabilization.pspg,
@@ -549,7 +550,8 @@ class GLSNavierStokesSolver:
         ma = self.prm.mesh_adaptation
         u = fields[0]
         with self.timer.section("kelly_estimate"):
-            eta = kelly_estimate(self.op, u, variable=ma.variable)
+            eta = kelly_estimate(self.op, u, variable=ma.variable,
+                                 nc_faces=self._nc_faces)
         refine_mask, coarsen_mask = flag_cells(
             eta, fraction_type=ma.fraction_type,
             refine_fraction=ma.fraction_refinement,

@@ -251,13 +251,15 @@ class GLSOperator:
         blocks_el = node_blocks_batched(
             self._batched_kernel, jnp.transpose(ue, (1, 2, 0)),
             C["xe_soa"], jnp.transpose(upe, (1, 2, 0)),
-            jnp.transpose(fq, (1, 2, 0)), alpha0, sdt)   # [E, nn, c, c]
-        E = blocks_el.shape[0]
+            jnp.transpose(fq, (1, 2, 0)), alpha0, sdt)   # [E, nn, c*c]
         me = gather_elements(bc_mask.astype(self.dtype), en)
         keep = 1.0 - me                                  # [E, nn, c]
-        blocks_el = blocks_el * keep[..., :, None] * keep[..., None, :]
-        blocks = self._assemble(
-            blocks_el.reshape(E, self.nn, self.nc * self.nc), C)
+        # keep2[..., i*c+j] = keep[..., i] * keep[..., j] without a 4-D
+        # intermediate (whose tiny trailing dims trigger pathological
+        # 8x128 tile padding at multi-million-element scale)
+        c = self.nc
+        keep2 = jnp.repeat(keep, c, axis=-1) * jnp.tile(keep, (1, 1, c))
+        blocks = self._assemble(blocks_el * keep2, C)
         return blocks.reshape(self.n_nodes, self.nc, self.nc)
 
     def residual(self, u, bc_mask, uprev_combo, fq, alpha0, sdt, C=None):

@@ -6,10 +6,12 @@ variable (velocity magnitude-wise sum or pressure) across interior faces:
 
     eta_K^2 = sum_{F in faces(K)} (h_F / 24) * int_F [d u / d n]^2 ds
 
-Face pairs are precomputed host-side from the built mesh (conforming
-faces; the 2:1 non-conforming interfaces are already at the refinement
-frontier and are skipped, as their jump is dominated by resolved scales).
-Evaluation is batched jnp per local-face-pair group.
+Face pairs are precomputed host-side from the built mesh.  Rotated
+adjacency (O-ring seams, gmsh meshes) is handled by matching the two
+sides' physical quadrature points; 2:1 NON-conforming interfaces
+contribute too (deal.II's Kelly integrates them from the fine side,
+evaluating the coarse gradient at mapped reference points).
+Evaluation is batched jnp per static-shape group.
 """
 
 from __future__ import annotations
@@ -44,57 +46,135 @@ def conforming_face_pairs(space):
     return pairs
 
 
+def _face_quad_perms(space, pairs, fp, fm, n_q1d):
+    """Per-pair permutation matching the minus side's face quadrature
+    points to the plus side's, by physical position (host numpy).
+    Handles rotated/flipped tangent frames between the two cells."""
+    fpts_p, _, Bp, _, _ = space.basis.face_quadrature(int(fp), n_q1d)
+    fpts_m, _, Bm, _, _ = space.basis.face_quadrature(int(fm), n_q1d)
+    xe = space.element_coords()
+    xp = np.einsum("qn,fnd->fqd", Bp, xe[pairs[:, 0]])
+    xm = np.einsum("qn,fnd->fqd", Bm, xe[pairs[:, 2]])
+    nq = xp.shape[1]
+    perm = np.zeros((len(pairs), nq), dtype=np.int64)
+    for i in range(len(pairs)):
+        scale = max(np.abs(xp[i]).max(), 1.0)
+        d2 = np.linalg.norm(xp[i][:, None, :] - xm[i][None, :, :],
+                            axis=-1)
+        perm[i] = np.argmin(d2, axis=1)
+        if np.min(d2[np.arange(nq), perm[i]]) > 1e-8 * scale or \
+                len(set(perm[i])) != nq:
+            raise ValueError(
+                "conforming face quadrature points do not match "
+                f"(pair {pairs[i]})")
+    return perm
+
+
 def kelly_estimate(op, u, variable: str = "velocity",
-                   pairs=None) -> np.ndarray:
+                   pairs=None, nc_faces=None) -> np.ndarray:
     """Per-element eta_K (host numpy array [E])."""
     space = op.space
     d = op.dim
     if pairs is None:
         pairs = conforming_face_pairs(space)
     eta2 = np.zeros(space.n_elements)
-    if not pairs:
-        return np.sqrt(eta2)
-    pairs = np.asarray(pairs, dtype=np.int64)
-
     comp = slice(0, d) if variable == "velocity" else slice(d, d + 1)
+    n_q1d = space.degree + 1
 
-    # group by (face+, face-) so tabulations are static per group
-    for fp in np.unique(pairs[:, 1]):
-        for fm in np.unique(pairs[:, 3]):
-            sel = pairs[(pairs[:, 1] == fp) & (pairs[:, 3] == fm)]
-            if sel.size == 0:
-                continue
-            ep, em = sel[:, 0], sel[:, 2]
-            n_q1d = space.degree + 1
-            fpts_p, fw, Bp, Gp, _ = space.basis.face_quadrature(
-                int(fp), n_q1d)
-            fpts_m, _, Bm, Gm, _ = space.basis.face_quadrature(
-                int(fm), n_q1d)
-            # quadrature points must coincide physically; for conforming
-            # consistently-oriented meshes the tangent ordering matches.
-            Gp_ = jnp.asarray(Gp, op.dtype)
-            Gm_ = jnp.asarray(Gm, op.dtype)
+    def side_grad(elems, G_):
+        xe = op.xe[elems]
+        ue = gather_elements(u, op.elem_nodes[elems])[..., comp]
+        J = jnp.einsum("fni,qnj->fqij", xe, G_)
+        detJ, Jinv = det_and_inv(J)
+        du = jnp.einsum("qna,fnc->fqca", G_, ue)
+        grad = jnp.einsum("fqca,fqai->fqci", du, Jinv)
+        return grad, J
+
+    def side_grad_at(elems, G_pts):
+        """Gradient at PER-FACE tabulated points G_pts [F, q, nn, d]."""
+        xe = op.xe[elems]
+        ue = gather_elements(u, op.elem_nodes[elems])[..., comp]
+        J = jnp.einsum("fni,fqnj->fqij", xe, G_pts)
+        detJ, Jinv = det_and_inv(J)
+        du = jnp.einsum("fqna,fnc->fqca", G_pts, ue)
+        return jnp.einsum("fqca,fqai->fqci", du, Jinv)
+
+    if len(pairs):
+        pairs_a = np.asarray(pairs, dtype=np.int64)
+        # group by (face+, face-) so tabulations are static per group
+        for fp in np.unique(pairs_a[:, 1]):
+            for fm in np.unique(pairs_a[:, 3]):
+                sel = pairs_a[(pairs_a[:, 1] == fp)
+                              & (pairs_a[:, 3] == fm)]
+                if sel.size == 0:
+                    continue
+                ep, em = sel[:, 0], sel[:, 2]
+                _, fw, Bp, Gp, _ = space.basis.face_quadrature(
+                    int(fp), n_q1d)
+                _, _, Bm, Gm, _ = space.basis.face_quadrature(
+                    int(fm), n_q1d)
+                qperm = _face_quad_perms(space, sel, fp, fm, n_q1d)
+                Gp_ = jnp.asarray(Gp, op.dtype)
+                Gm_ = jnp.asarray(Gm, op.dtype)
+                w_ = jnp.asarray(fw, op.dtype)
+
+                gp_, Jp = side_grad(jnp.asarray(ep), Gp_)
+                gm_, _ = side_grad(jnp.asarray(em), Gm_)
+                # reorder the minus side onto the plus side's points
+                gm_ = jnp.take_along_axis(
+                    gm_, jnp.asarray(qperm)[:, :, None, None], axis=1)
+                meas, nrm = face_measure_and_normal(Jp, int(fp))
+                jump = jnp.einsum("fqci,fqi->fqc", gp_ - gm_, nrm)
+                face_int = jnp.einsum("fqc,fq,q->f", jump * jump,
+                                      meas, w_)
+                area = jnp.einsum("fq,q->f", meas, w_)
+                h_f = area if d == 2 else jnp.sqrt(area)
+                contrib = np.asarray((h_f / 24.0) * face_int)
+                np.add.at(eta2, ep, contrib)
+                np.add.at(eta2, em, contrib)
+
+    # ---- 2:1 non-conforming interfaces: integrate from the fine side,
+    # evaluating the coarse gradient at mapped reference points --------
+    if nc_faces:
+        groups: dict[tuple, list] = {}
+        for f in nc_faces:
+            groups.setdefault(
+                (f.fine_face, f.coarse_face, f.tmap), []).append(f)
+        for (ff, cf, tmap), fl in groups.items():
+            fpts_f, fw, Bf, Gf, _ = space.basis.face_quadrature(
+                int(ff), n_q1d)
+            # coarse-cell reference coordinates of the fine face's
+            # quadrature points
+            ref_c = np.zeros_like(fpts_f)                  # [q, d]
+            axis_f = ff // 2
+            axis_c, side_c = divmod(int(cf), 2)
+            ref_c[:, axis_c] = 1.0 if side_c else 0.0
+            t_i = 0
+            for a in range(d):
+                if a == axis_f:
+                    continue
+                a2, flip, bit = tmap[t_i]
+                x = fpts_f[:, a]
+                x2 = 1.0 - x if flip else x
+                ref_c[:, a2] = (bit + x2) / 2.0
+                t_i += 1
+            _, Gc, _ = space.basis.tabulate(ref_c)         # [q, nn, d]
+            ef = np.array([f.fine_elem for f in fl])
+            ec = np.array([f.coarse_elem for f in fl])
+            Gf_ = jnp.asarray(Gf, op.dtype)
+            Gc_ = jnp.asarray(np.broadcast_to(
+                Gc, (len(fl),) + Gc.shape), op.dtype)
             w_ = jnp.asarray(fw, op.dtype)
-
-            def side_grad(elems, G_):
-                xe = op.xe[elems]
-                ue = gather_elements(u, op.elem_nodes[elems])[..., comp]
-                J = jnp.einsum("fni,qnj->fqij", xe, G_)
-                detJ, Jinv = det_and_inv(J)
-                du = jnp.einsum("qna,fnc->fqca", G_, ue)
-                grad = jnp.einsum("fqca,fqai->fqci", du, Jinv)
-                return grad, J
-
-            gp_, Jp = side_grad(jnp.asarray(ep), Gp_)
-            gm_, _ = side_grad(jnp.asarray(em), Gm_)
-            meas, nrm = face_measure_and_normal(Jp, int(fp))
-            jump = jnp.einsum("fqci,fqi->fqc", gp_ - gm_, nrm)
+            gf_, Jf = side_grad(jnp.asarray(ef), Gf_)
+            gc_ = side_grad_at(jnp.asarray(ec), Gc_)
+            meas, nrm = face_measure_and_normal(Jf, int(ff))
+            jump = jnp.einsum("fqci,fqi->fqc", gf_ - gc_, nrm)
             face_int = jnp.einsum("fqc,fq,q->f", jump * jump, meas, w_)
             area = jnp.einsum("fq,q->f", meas, w_)
             h_f = area if d == 2 else jnp.sqrt(area)
             contrib = np.asarray((h_f / 24.0) * face_int)
-            np.add.at(eta2, ep, contrib)
-            np.add.at(eta2, em, contrib)
+            np.add.at(eta2, ef, contrib)
+            np.add.at(eta2, ec, contrib)
     return np.sqrt(eta2)
 
 
