@@ -693,6 +693,32 @@ class ShardedGLSSolver:
                           jnp.asarray(alpha0, self.dtype),
                           jnp.asarray(sdt, self.dtype))
 
+    def write_checkpoint(self, path, u_stack, prevs_stack, t=0.0,
+                         step=0):
+        """Atomic checkpoint of the distributed state, stored GLOBALLY —
+        a restore may use a different device count (reference §5.4:
+        'restore with re-partition for a possibly different device
+        count')."""
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp,
+                 u=self.to_global(u_stack),
+                 prevs=np.stack([self.to_global(prevs_stack[i])
+                                 for i in range(3)]),
+                 t=t, step=step, n_nodes=self.space.n_nodes)
+        os.replace(tmp, path + ".npz")
+
+    def read_checkpoint(self, path):
+        """Restore onto THIS solver's partitioning (any device count).
+        Returns (u_stack, prevs_stack, t, step)."""
+        data = np.load(path + ".npz")
+        if int(data["n_nodes"]) != self.space.n_nodes:
+            raise ValueError("checkpoint does not match the space")
+        u = self.to_local(data["u"])
+        prevs = jnp.stack([self.to_local(p) for p in data["prevs"]])
+        return u, prevs, float(data["t"]), int(data["step"])
+
     def run_transient(self, u0_stack, dt: float, n_steps: int,
                       order: int = 2, t0: float = 0.0,
                       history_stacks=None, on_step=None,

@@ -700,6 +700,18 @@ class GLSNavierStokesSolver:
             # atomic write (temp + rename): a crash mid-write never
             # corrupts the last good checkpoint (reference §5.4 parity)
             tmp = path + ".tmp.npz"
+            extras = {}
+            if self.forest is not None:
+                # forest topology (triangulation.save equivalent,
+                # reference §3.4): base mesh + leaf set restore an
+                # ADAPTED mesh exactly, so mid-AMR transients resume
+                rows = []
+                for b, leafset in enumerate(self.forest.leaves):
+                    for leaf in sorted(leafset):
+                        rows.append((b,) + leaf)
+                extras["forest_leaves"] = np.asarray(rows, np.int64)
+                extras["base_vertices"] = self.forest.base.vertices
+                extras["base_cells"] = self.forest.base.cells
             np.savez(
                 tmp,
                 u=np.asarray(u),
@@ -707,7 +719,8 @@ class GLSNavierStokesSolver:
                 control=json.dumps(self.control.serialize()),
                 pvd=json.dumps(self.pvd.serialize()),
                 n_nodes=self.space.n_nodes,
-                degree=self.space.degree)
+                degree=self.space.degree,
+                **extras)
             os.replace(tmp, path + ".npz")
 
     def read_checkpoint(self):
@@ -715,6 +728,26 @@ class GLSNavierStokesSolver:
         path = os.path.join(prm.simulation_control.output_path,
                             prm.restart.filename) + ".npz"
         data = np.load(path, allow_pickle=False)
+        if "forest_leaves" in data:
+            if self.forest is None:
+                raise ValueError(
+                    "checkpoint holds an adapted forest but the deck "
+                    "does not enable kelly adaptation")
+            base = self.forest.base
+            if (data["base_vertices"].shape != base.vertices.shape
+                    or not np.allclose(data["base_vertices"],
+                                       base.vertices)
+                    or not np.array_equal(data["base_cells"],
+                                          base.cells)):
+                raise ValueError("checkpoint base mesh does not match "
+                                 "the deck's")
+            leaves = [set() for _ in range(base.n_cells)]
+            for row in data["forest_leaves"]:
+                leaves[int(row[0])].add(tuple(int(x) for x in row[1:]))
+            self.forest.leaves = leaves
+            mesh, elem_of, ncf = self.forest.build_mesh()
+            self._elem_of = elem_of
+            self.setup(mesh=mesh, nc_faces=ncf)
         if int(data["n_nodes"]) != self.space.n_nodes or \
                 int(data["degree"]) != self.space.degree:
             raise ValueError("checkpoint does not match current mesh/space")

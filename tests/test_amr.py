@@ -227,3 +227,114 @@ end
     assert top_cells[:, 1].mean() > 0.6
     # solution stays bounded and Newton converged
     assert float(jnp.abs(u[:, :2]).max()) <= 1.0 + 1e-6
+
+
+CYLINDER_KELLY_DECK = """
+subsection simulation control
+  set method    = bdf2
+  set time step = 0.05
+  set time end  = 0.3
+end
+subsection physical properties
+  set kinematic viscosity = 0.01
+end
+subsection mesh
+  set type               = dealii
+  set grid type          = channel_with_cylinder
+  set grid arguments     = 2.2, 0.41 : 0.2, 0.2 : 0.05
+  set initial refinement = 1
+end
+subsection mesh adaptation
+  set type                 = kelly
+  set variable             = velocity
+  set frequency            = 2
+  set fraction refinement  = 0.15
+  set fraction coarsening  = 0.0
+  set max number elements  = 2000
+  set max refinement level = 4
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id   = 0
+    set type = function
+    subsection u
+      set Function expression = 4*1.5*y*(0.41-y)/(0.41*0.41)
+    end
+  end
+  subsection bc 1
+    set id   = 1
+    set type = outlet
+  end
+  subsection bc 2
+    set id   = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id   = 3
+    set type = noslip
+  end
+end
+subsection forces
+  set calculate forces      = true
+  set calculation frequency = 1
+  set verbosity             = quiet
+end
+subsection non-linear solver
+  set verbosity      = quiet
+  set tolerance      = 1e-6
+  set max iterations = 6
+end
+subsection linear solver
+  set verbosity         = quiet
+  set relative residual = 1e-3
+  set minimum residual  = 1e-9
+  set max iters         = 1000
+end
+subsection test
+  set enable = true
+end
+"""
+
+
+def test_cylinder_transient_kelly_amr():
+    """Config #3 machinery end-to-end: transient BDF2 on the cylinder
+    O-ring mesh (rotated seam) with Kelly adaptation mid-run, BDF
+    history transferred, forces finite every step."""
+    from softx_2020_200_tpu.core.parameters import SimulationParameters
+    from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
+    from softx_2020_200_tpu.solvers import postprocessing as post
+
+    prm = SimulationParameters.from_text(CYLINDER_KELLY_DECK, dim=2)
+    s = GLSNavierStokesSolver(prm)
+    assert s.forest is not None
+    e0 = s.space.n_elements
+
+    forces = []
+
+    def on_step(solver, u, t):
+        f = np.asarray(post.forces_on_boundary(
+            solver.op, u, solver.space.boundary_faces[3]))
+        assert np.isfinite(f).all()
+        forces.append((t, *f))
+
+    u = s.run_transient(on_step=on_step, verbose=False)
+    assert np.isfinite(np.asarray(u)).all()
+    # the mesh actually adapted (grew toward the cylinder wake)
+    assert s.space.n_elements > e0
+    # refinement concentrated near the cylinder: smallest cells at wall
+    mesh = s.space.mesh
+    cent = mesh.vertices[mesh.cells].mean(axis=1)
+    r = np.linalg.norm(cent - np.array([0.2, 0.2]), axis=1)
+    areas = []
+    for e in range(mesh.n_cells):
+        v = mesh.vertices[mesh.cells[e]]
+        a, b = v[1] - v[0], v[2] - v[0]
+        areas.append(abs(a[0] * b[1] - a[1] * b[0]))
+    areas = np.asarray(areas)
+    near = r < 0.15
+    assert near.any()
+    assert areas[near].mean() < areas[~near].mean()
+    # drag is positive and O(1)
+    fx = np.array([f[1] for f in forces])
+    assert fx[-1] > 0
