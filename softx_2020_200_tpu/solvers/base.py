@@ -431,10 +431,60 @@ class GLSNavierStokesSolver:
         if prm.restart.restart:
             u, previous = self.read_checkpoint()
 
+        # reference first_iteration() semantics: `startup time scaling`
+        # subdivides the first step(s) into lower-order sub-steps of
+        # sizes (s*dt, (1-s)*dt), building genuine history so the target
+        # order starts with full temporal accuracy (SURVEY §2.1/§3.2)
+        s_scale = prm.simulation_control.startup_timestep_scaling
+        startup_left = 0
+        if (target_order >= 2 and not sdirk_order
+                and 0.0 < s_scale < 1.0
+                and not history_from_exact and not prm.restart.restart):
+            startup_left = target_order - 1
+
         while not ctrl.is_at_end():
             ctrl.integrate()
             order = ctrl.effective_bdf_order()
             t = ctrl.time
+            if startup_left > 0 and not sdirk_order:
+                k = target_order - startup_left   # 1st split: k=1, ...
+                dt_full = ctrl.dt_history[0]
+                dt_a = s_scale * dt_full
+                dt_b = dt_full - dt_a
+                dts_a = [dt_a] + ctrl.dt_history[1:]
+                with self.timer.section("solve"):
+                    u, _ = self.solve_transient_step(
+                        u, previous, t - dt_b, dts_a,
+                        min(k, len(dts_a)), verbose=verbose)
+                previous = [u] + previous[:2]
+                dts_b = [dt_b, dt_a] + ctrl.dt_history[1:]
+                with self.timer.section("solve"):
+                    u, res = self.solve_transient_step(
+                        u, previous, t, dts_b,
+                        min(k + 1, len(dts_b)), verbose=verbose)
+                previous = [u] + previous[:2]
+                # record the true sub-step sizes for later variable-dt
+                # BDF weights (and for restart fidelity)
+                ctrl.dt_history = ([dt_b, dt_a]
+                                   + ctrl.dt_history[1:])[:4]
+                startup_left -= 1
+                ctrl.cfl = float(self.op.cfl(u, ctrl.dt))
+                with self.timer.section("postprocess"):
+                    self.postprocess(u, t)
+                    if self.exact is not None and (
+                            prm.analytical_solution.verbosity
+                            is Verbosity.verbose or prm.test.enable):
+                        ev, ep = self.l2_errors(u, t)
+                        prec = prm.simulation_control.log_precision
+                        print(f"L2 error velocity : {ev:.{prec}e}")
+                if ctrl.is_output_iteration():
+                    self.write_output(u, t)
+                if prm.restart.checkpoint and \
+                        ctrl.iteration % prm.restart.frequency == 0:
+                    self.write_checkpoint(u, previous)
+                if on_step is not None:
+                    on_step(self, u, t)
+                continue
             if (prm.simulation_control.method is not TimeSteppingMethod.steady
                     and not prm.test.enable and verbose is not False):
                 prec = prm.simulation_control.log_precision

@@ -69,3 +69,26 @@ def test_sdirk3_order_conditions():
     assert b.sum() == pytest.approx(1.0, abs=1e-10)
     assert (b @ c) == pytest.approx(0.5, abs=1e-8)
     assert (b @ c**2) == pytest.approx(1.0 / 3.0, abs=1e-8)
+
+
+def test_bdf2_startup_substeps_improve_first_step():
+    """`startup time scaling` sub-steps the first BDF2 step (reference
+    first_iteration(), SURVEY §2.1/§3.2): the first-step L2 error must
+    beat the plain order-ramp start by a clear margin."""
+    from tests.test_sharded_v2 import MMS_DECK
+    from softx_2020_200_tpu.core.parameters import SimulationParameters
+    from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
+
+    errs = {}
+    for s_scale in (0.0, 0.4):
+        deck = MMS_DECK.format(refine=2, order=2) + f"""
+subsection simulation control
+  set startup time scaling = {s_scale}
+  set time end = 0.1
+end
+"""
+        prm = SimulationParameters.from_text(deck, dim=2)
+        s = GLSNavierStokesSolver(prm)
+        u = s.run_transient(verbose=False)
+        errs[s_scale] = s.l2_errors(u, 0.1)[0]
+    assert errs[0.4] < 0.5 * errs[0.0], errs
