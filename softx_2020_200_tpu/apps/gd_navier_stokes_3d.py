@@ -2,11 +2,11 @@
 applications/gd_navier_stokes_3d — SURVEY.md §2.3)."""
 
 from .common import run_app
-from .gd_navier_stokes_2d import _GDDriver
+from ..solvers.gd import GDNavierStokesSolver
 
 
 def main(argv=None) -> int:
-    return run_app(3, argv, solver_cls=_GDDriver)
+    return run_app(3, argv, solver_cls=GDNavierStokesSolver)
 
 
 if __name__ == "__main__":

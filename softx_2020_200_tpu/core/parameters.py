@@ -256,6 +256,14 @@ class BoundaryCondition:
     w: str = "0"
     periodic_id: int = 0
     periodic_direction: int = 0
+    # per-boundary center of rotation for torque integrals
+    # (reference: calculate_torques() about per-boundary center, §2.2)
+    cor_x: float = 0.0
+    cor_y: float = 0.0
+    cor_z: float = 0.0
+
+    def center_of_rotation(self, dim: int):
+        return [self.cor_x, self.cor_y, self.cor_z][:dim]
 
 
 @dataclass
@@ -278,6 +286,9 @@ class BoundaryConditionsParams:
                 setattr(bc, comp, expr)
             bc.periodic_id = sub.get_int("periodic_id", 0)
             bc.periodic_direction = sub.get_int("periodic_direction", 0)
+            bc.cor_x = sub.get_double("cor x", 0.0)
+            bc.cor_y = sub.get_double("cor y", 0.0)
+            bc.cor_z = sub.get_double("cor z", 0.0)
             self.bcs.append(bc)
 
 

@@ -37,22 +37,17 @@ def _new_node_base_positions(space, forest, elem_of):
     return base_cell, base_pos
 
 
-def transfer_solution(old_space, old_forest, old_elem_of,
-                      new_space, new_forest, new_elem_of, fields):
-    """Interpolate [N_old, c] fields onto the new space: list -> list."""
-    dim = new_space.dim
-    base_cell, base_pos = _new_node_base_positions(
-        new_space, new_forest, new_elem_of)
-
-    # locate the OLD leaf containing each new node position
-    N = new_space.n_nodes
-    old_elem = np.zeros(N, dtype=np.int64)
-    ref_in_old = np.zeros((N, dim))
+def locate_in_forest(base_cell, base_pos, forest, elem_of, dim):
+    """Walk a forest down to the leaf containing each (base cell,
+    base-ref position); returns (elem [N], ref_in_leaf [N, dim])."""
+    N = base_cell.shape[0]
+    elem = np.zeros(N, dtype=np.int64)
+    ref = np.zeros((N, dim))
     for nid in range(N):
         b = int(base_cell[nid])
         pos = base_pos[nid]
         leaf = (0,) + (0,) * dim
-        while leaf not in old_forest.leaves[b]:
+        while leaf not in forest.leaves[b]:
             lvl, idx = leaf[0], leaf[1:]
             h = 1.0 / (1 << lvl)
             child_bits = 0
@@ -63,12 +58,23 @@ def transfer_solution(old_space, old_forest, old_elem_of,
             leaf = (lvl + 1,) + tuple(
                 2 * idx[a] + ((child_bits >> a) & 1) for a in range(dim))
             if leaf[0] > 30:
-                raise RuntimeError("old forest walk failed")
-        old_elem[nid] = old_elem_of[(b, leaf)]
+                raise RuntimeError("forest walk failed")
+        elem[nid] = elem_of[(b, leaf)]
         lvl, idx = leaf[0], leaf[1:]
         h = 1.0 / (1 << lvl)
-        ref_in_old[nid] = np.clip(
+        ref[nid] = np.clip(
             (pos - np.array(idx, dtype=np.float64) * h) / h, 0.0, 1.0)
+    return elem, ref
+
+
+def transfer_solution(old_space, old_forest, old_elem_of,
+                      new_space, new_forest, new_elem_of, fields):
+    """Interpolate [N_old, c] fields onto the new space: list -> list."""
+    dim = new_space.dim
+    base_cell, base_pos = _new_node_base_positions(
+        new_space, new_forest, new_elem_of)
+    old_elem, ref_in_old = locate_in_forest(
+        base_cell, base_pos, old_forest, old_elem_of, dim)
 
     # evaluate the old basis at each node's reference coords
     Bpt, _, _ = old_space.basis.tabulate(ref_in_old)       # [N, nn_old]

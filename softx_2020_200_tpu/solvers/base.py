@@ -151,6 +151,12 @@ class GLSNavierStokesSolver:
 
         ls = prm.linear_solver
         nls = prm.nonlinear_solver
+        if ls.method == "amg" and not prm.test.enable:
+            # reference decks select Trilinos-ML AMG here; the TPU
+            # equivalent is GMG-preconditioned FGMRES (same
+            # mesh-independence slot) — never run something else silently
+            print("linear solver method 'amg' maps to geometric-multigrid"
+                  " preconditioned FGMRES on TPU")
         self.newton_cfg = NewtonConfig(
             tolerance=nls.tolerance,
             max_iterations=nls.max_iterations,
@@ -667,10 +673,15 @@ class GLSNavierStokesSolver:
                         print(f"Force boundary {bid} : {comps}")
         if prm.forces.calculate_torques and \
                 it % prm.forces.calculation_frequency == 0:
+            # torques about the PER-BOUNDARY center of rotation (deck
+            # keys `cor x/y/z` in each bc block — reference §2.2)
+            cor = {bc.id: np.asarray(bc.center_of_rotation(self.dim))
+                   for bc in prm.boundary_conditions.bcs}
             with self.timer.section("calculate_torques"):
                 for bid, faces in sorted(self.space.boundary_faces.items()):
                     tq = np.asarray(post.torques_on_boundary(
-                        self.op, u, faces, center=np.zeros(self.dim)))
+                        self.op, u, faces,
+                        center=cor.get(bid, np.zeros(self.dim))))
                     tab = self._torque_tables.setdefault(
                         bid, Table(["time"] + [f"T_{i}" for i in
                                                range(tq.shape[0])],
@@ -719,10 +730,9 @@ class GLSNavierStokesSolver:
     # ------------------------------------------------------------------
     def write_output(self, u, t: float) -> None:
         prm = self.prm
+        sc = prm.simulation_control
         with self.timer.section("output"):
             it = self.control.iteration
-            name = f"{prm.simulation_control.output_name}.{it:05d}.vtu"
-            path = os.path.join(prm.simulation_control.output_path, name)
             un = np.asarray(u)
             pdata = {"velocity": un[:, :self.dim],
                      "pressure": un[:, self.dim]}
@@ -730,13 +740,35 @@ class GLSNavierStokesSolver:
                 post.vorticity_field(self.op, u))
             pdata["q_criterion"] = np.asarray(
                 post.q_criterion_field(self.op, u))
-            cells = subcell_connectivity(self.space.elem_nodes,
-                                         self.space.degree, self.dim)
-            write_vtu(path, self.space.nodes, cells, pdata)
+            s = max(1, sc.subdivision)
+            if s in (1, self.space.degree):
+                # shared-node path: Qk elements as k^dim linear subcells
+                points = self.space.nodes
+                cells = subcell_connectivity(self.space.elem_nodes,
+                                             self.space.degree, self.dim)
+            else:
+                # deck `subdivision`: per-element (s+1)^dim patches
+                # (reference DataOut::build_patches high-order viz)
+                from ..utils.vtu import subdivide_patches
+                points, cells, pdata = subdivide_patches(
+                    self.space, pdata, s)
+            basename = f"{sc.output_name}.{it:05d}"
+            if sc.group_files > 1:
+                # grouped pieces + .pvtu master (reference
+                # write_vtu_with_pvtu_record / MPI I/O groups; at the
+                # default `group files = 1` a single .vtu is the whole
+                # group, so no master is needed)
+                from ..utils.vtu import write_grouped_output
+                name = write_grouped_output(
+                    sc.output_path, basename, points, cells, pdata,
+                    sc.group_files)
+            else:
+                name = basename + ".vtu"
+                write_vtu(os.path.join(sc.output_path, name),
+                          points, cells, pdata)
             self.pvd.append(t, name)
             self.pvd.write(os.path.join(
-                prm.simulation_control.output_path,
-                prm.simulation_control.output_name + ".pvd"))
+                sc.output_path, sc.output_name + ".pvd"))
 
     # ------------------------------------------------------------------
     # checkpoint / restart (reference §3.4, §5.4)

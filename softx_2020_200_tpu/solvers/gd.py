@@ -215,6 +215,26 @@ class GDOperator:
         err_p = jnp.sqrt(jnp.sum(wdet * dp * dp))
         return err_v, err_p
 
+    def cfl(self, x, dt):
+        """max over elements/quad points of |u| dt / h (adaptive dt)."""
+        d = self.dim
+        v, _ = self.split(x)
+        ve = gather_elements(v, self.conn_v)
+
+        def one(ve_, xe_):
+            J = jnp.einsum("ni,qnj->qij", xe_, self.Gv)
+            detJ, _ = det_and_inv(J)
+            vol = jnp.sum(detJ * self.w)
+            if d == 2:
+                h = jnp.sqrt(4.0 * vol / math.pi) / self.space_v.degree
+            else:
+                h = jnp.cbrt(6.0 * vol / math.pi) / self.space_v.degree
+            vq = jnp.einsum("qn,nd->qd", self.Bv, ve_)
+            return jnp.max(jnp.linalg.norm(vq, axis=-1)) / h
+
+        per_elem = jax.vmap(one)(ve, self.xe)
+        return jnp.max(per_elem) * dt
+
     def pressure_lumped_mass(self):
         """Lumped pressure mass diag [Np] (for the Schur approximation)."""
         xe_t = jnp.transpose(self.xe, (1, 2, 0))
@@ -238,18 +258,40 @@ class GDNavierStokesSolver:
     """
 
     def __init__(self, prm, mesh=None):
-        from ..core.parameters import SimulationParameters
+        from ..core.parameters import SimulationParameters, BoundaryType
         from ..core.simulation_control import SimulationControl
         from ..core.expressions import VectorExpression
+        from ..core.pvd_handler import PVDHandler
+        from ..core.timer import SectionTimer
         from ..fem.mesh import generate_mesh
+        from ..utils.tables import Table
         from .newton import NewtonConfig
         self.prm = prm
         self.dim = prm.dim
         self.control = SimulationControl(prm.simulation_control)
+        self.pvd = PVDHandler()
+        self.timer = SectionTimer()
+        self._force_tables: dict[int, object] = {}
+        self._torque_tables: dict[int, object] = {}
+        self.tables: dict[str, list] = {"ke": [], "enstrophy": []}
         if mesh is None:
-            mesh = generate_mesh(
-                prm.mesh.grid_type, prm.mesh.grid_arguments, dim=self.dim,
-                initial_refinement=prm.mesh.initial_refinement)
+            if prm.mesh.type == "gmsh":
+                from ..fem.gmsh_io import read_msh
+                mesh = read_msh(prm.mesh.file_name, self.dim)
+                if prm.mesh.initial_refinement:
+                    mesh = mesh.refine_uniform(prm.mesh.initial_refinement)
+            else:
+                mesh = generate_mesh(
+                    prm.mesh.grid_type, prm.mesh.grid_arguments,
+                    dim=self.dim,
+                    initial_refinement=prm.mesh.initial_refinement)
+        # periodic declarations reach the mesh BEFORE the two FE spaces
+        # are numbered (mirrors the GLS engine's setup() wiring)
+        for bc in prm.boundary_conditions.bcs:
+            if bc.type == BoundaryType.periodic:
+                pair = (bc.id, bc.periodic_id, bc.periodic_direction)
+                if pair not in mesh.periodic:
+                    mesh.periodic.append(pair)
         self._mesh = mesh
         self.op = GDOperator(
             mesh, degree_pressure=prm.fem.pressure_order,
@@ -373,6 +415,253 @@ class GDNavierStokesSolver:
         res = self._solve_jit(x, combo, t, float(alpha[0]),
                               1.0 / float(dts[0]))
         return res.u, res
+
+    def solve_sdirk_step(self, x, t_old, dt, order):
+        """One SDIRK22/33 step on the mixed state (velocity history only;
+        mirrors the GLS engine's stage sequencing)."""
+        from ..core.sdirk import sdirk_coefficients
+        table = sdirk_coefficients(order, dt)
+        A = table[:, :order]
+        c = table[:, order]
+        op = self.op
+        v_n, _ = op.split(x)
+        ks = []
+        res = None
+        for s_i in range(order):
+            gamma = A[s_i, s_i]
+            alpha0 = 1.0 / (dt * gamma)
+            combo = -v_n * alpha0
+            for j in range(s_i):
+                combo = combo - (A[s_i, j] / gamma) * ks[j]
+            res = self._solve_jit(x, combo, t_old + c[s_i] * dt,
+                                  alpha0, 1.0 / dt)
+            x = res.u
+            v_s, _ = op.split(x)
+            ks.append(alpha0 * v_s + combo)
+        return x, res
+
+    # ------------------------------------------------------------------
+    # transient loop + orchestration (reference gd solver shares the
+    # NavierStokesBase time loop — SURVEY §2.2/§3.2)
+    # ------------------------------------------------------------------
+    def solve(self, on_step=None):
+        if self.control.is_steady():
+            x, res = self.solve_steady()
+            if self.exact is not None:
+                ev, ep = self.l2_errors(x)
+                prec = self.prm.simulation_control.log_precision
+                print(f"L2 error velocity : {ev:.{prec}e}  "
+                      f"L2 error pressure: {ep:.{prec}e}")
+            self.postprocess(x, 0.0)
+            if self.prm.simulation_control.output_frequency > 0:
+                self.write_output(x, 0.0)
+            self.write_tables()
+            return x
+        return self.run_transient(on_step=on_step)
+
+    def run_transient(self, x0=None, on_step=None):
+        prm = self.prm
+        ctrl = self.control
+        sdirk_order = (int(ctrl.method.value[-1])
+                       if ctrl.method.is_sdirk else 0)
+        target_order = max(ctrl.method.bdf_order, 1)
+        if x0 is None:
+            x0 = self.initial_condition()
+        x = x0
+        previous = [x0] * 3
+        if prm.restart.restart:
+            x, previous = self.read_checkpoint()
+        # reference first_iteration(): sub-stepped lower-order startup
+        s_scale = prm.simulation_control.startup_timestep_scaling
+        startup_left = (target_order - 1
+                        if (target_order >= 2 and not sdirk_order
+                            and 0.0 < s_scale < 1.0
+                            and not prm.restart.restart) else 0)
+        while not ctrl.is_at_end():
+            ctrl.integrate()
+            order = ctrl.effective_bdf_order()
+            t = ctrl.time
+            if (not prm.test.enable):
+                prec = prm.simulation_control.log_precision
+                print(f"*** Time step : {ctrl.iteration}  "
+                      f"time = {t:.{prec}g}  dt = {ctrl.dt:.{prec}g} ***")
+            with self.timer.section("solve"):
+                if sdirk_order:
+                    x, res = self.solve_sdirk_step(x, t - ctrl.dt,
+                                                   ctrl.dt, sdirk_order)
+                elif startup_left > 0:
+                    k = target_order - startup_left
+                    dt_full = ctrl.dt_history[0]
+                    dt_a = s_scale * dt_full
+                    dt_b = dt_full - dt_a
+                    dts_a = [dt_a] + ctrl.dt_history[1:]
+                    x, _ = self.solve_transient_step(
+                        x, previous, t - dt_b, dts_a,
+                        min(k, len(dts_a)))
+                    previous = [x] + previous[:2]
+                    dts_b = [dt_b, dt_a] + ctrl.dt_history[1:]
+                    x, res = self.solve_transient_step(
+                        x, previous, t, dts_b, min(k + 1, len(dts_b)))
+                    ctrl.dt_history = ([dt_b, dt_a]
+                                       + ctrl.dt_history[1:])[:4]
+                    startup_left -= 1
+                else:
+                    x, res = self.solve_transient_step(
+                        x, previous, t, ctrl.dts(), order)
+            ctrl.cfl = float(self.op.cfl(x, ctrl.dt))
+            previous = [x] + previous[:2]
+            with self.timer.section("postprocess"):
+                self.postprocess(x, t)
+                if self.exact is not None and prm.test.enable:
+                    ev, ep = self.l2_errors(x, t)
+                    prec = prm.simulation_control.log_precision
+                    print(f"L2 error velocity : {ev:.{prec}e}")
+            if ctrl.is_output_iteration():
+                self.write_output(x, t)
+            if prm.restart.checkpoint and \
+                    ctrl.iteration % prm.restart.frequency == 0:
+                self.write_checkpoint(x, previous)
+            if on_step is not None:
+                on_step(self, x, t)
+        self.write_tables()
+        if prm.timer.type == "end":
+            print(self.timer.report())
+        return x
+
+    # ------------------------------------------------------------------
+    def postprocess(self, x, t: float) -> None:
+        from ..utils.tables import Table
+        from ..core.parameters import Verbosity
+        from . import postprocessing as post
+        prm = self.prm
+        prec = prm.forces.output_precision
+        it = self.control.iteration
+        sv = self.op.space_v
+        if prm.forces.calculate_forces and \
+                it % prm.forces.calculation_frequency == 0:
+            for bid, faces in sorted(sv.boundary_faces.items()):
+                f = np.asarray(post.gd_forces_on_boundary(self.op, x,
+                                                          faces))
+                tab = self._force_tables.setdefault(
+                    bid, Table(["time"] + [f"f_{ax}" for ax in
+                                           "xyz"[:self.dim]],
+                               precision=prec))
+                tab.add_row([t] + list(map(float, f)))
+                if prm.forces.verbosity is Verbosity.verbose \
+                        or prm.test.enable:
+                    comps = " ".join(
+                        f"{v:.{prm.simulation_control.log_precision}e}"
+                        for v in f)
+                    print(f"Force boundary {bid} : {comps}")
+        if prm.forces.calculate_torques and \
+                it % prm.forces.calculation_frequency == 0:
+            cor = {bc.id: np.asarray(bc.center_of_rotation(self.dim))
+                   for bc in prm.boundary_conditions.bcs}
+            for bid, faces in sorted(sv.boundary_faces.items()):
+                tq = np.asarray(post.gd_torques_on_boundary(
+                    self.op, x, faces,
+                    center=cor.get(bid, np.zeros(self.dim))))
+                tab = self._torque_tables.setdefault(
+                    bid, Table(["time"] + [f"T_{i}" for i in
+                                           range(tq.shape[0])],
+                               precision=prec))
+                tab.add_row([t] + list(map(float, tq)))
+        pp = prm.post_processing
+        if (pp.calculate_kinetic_energy or pp.calculate_enstrophy) and \
+                it % pp.calculation_frequency == 0:
+            row = {"time": t}
+            if pp.calculate_kinetic_energy:
+                row["kinetic-energy"] = float(
+                    post.gd_kinetic_energy(self.op, x))
+                self.tables["ke"].append((t, row["kinetic-energy"]))
+            if pp.calculate_enstrophy:
+                row["enstrophy"] = float(post.gd_enstrophy(self.op, x))
+                self.tables["enstrophy"].append((t, row["enstrophy"]))
+            if pp.verbosity is Verbosity.verbose or prm.test.enable:
+                print("  ".join(f"{k}: {v:.6e}" for k, v in row.items()
+                                if k != "time"))
+
+    def write_tables(self) -> None:
+        from ..utils.tables import Table
+        prm = self.prm
+        outdir = prm.simulation_control.output_path
+        import os
+        for bid, tab in self._force_tables.items():
+            tab.write(os.path.join(
+                outdir, f"{prm.forces.force_output_name}.{bid}.dat"))
+        for bid, tab in self._torque_tables.items():
+            tab.write(os.path.join(
+                outdir, f"{prm.forces.torque_output_name}.{bid}.dat"))
+        pp = prm.post_processing
+        if self.tables["ke"]:
+            t = Table(["time", pp.kinetic_energy_name])
+            for row in self.tables["ke"]:
+                t.add_row(list(row))
+            t.write(os.path.join(outdir,
+                                 f"{pp.kinetic_energy_name}.dat"))
+        if self.tables["enstrophy"]:
+            t = Table(["time", pp.enstrophy_name])
+            for row in self.tables["enstrophy"]:
+                t.add_row(list(row))
+            t.write(os.path.join(outdir, f"{pp.enstrophy_name}.dat"))
+
+    # ------------------------------------------------------------------
+    def write_output(self, x, t: float) -> None:
+        """VTU output on the velocity space; the Qk pressure is
+        interpolated to the Q(k+1) nodes for visualization only."""
+        import os
+        from ..utils.vtu import write_vtu, subcell_connectivity
+        sc = self.prm.simulation_control
+        op = self.op
+        v, p = op.split(x)
+        Bp_at_vn, _, _ = op.space_p.basis.tabulate(op.space_v.basis.nodes)
+        pe = np.asarray(p)[op.space_p.elem_nodes]
+        p_at_vn = np.einsum("nk,ek->en", Bp_at_vn, pe)
+        p_nodes = np.zeros(op.Nv)
+        counts = np.zeros(op.Nv)
+        np.add.at(p_nodes, op.space_v.elem_nodes.reshape(-1),
+                  p_at_vn.reshape(-1))
+        np.add.at(counts, op.space_v.elem_nodes.reshape(-1), 1.0)
+        p_nodes /= np.maximum(counts, 1.0)
+        cells = subcell_connectivity(op.space_v.elem_nodes,
+                                     op.space_v.degree, self.dim)
+        name = f"{sc.output_name}.{self.control.iteration:05d}.vtu"
+        write_vtu(os.path.join(sc.output_path, name),
+                  op.space_v.nodes, cells,
+                  {"velocity": np.asarray(v), "pressure": p_nodes})
+        self.pvd.append(t, name)
+        self.pvd.write(os.path.join(sc.output_path,
+                                    sc.output_name + ".pvd"))
+
+    # ------------------------------------------------------------------
+    def write_checkpoint(self, x, previous) -> None:
+        import json
+        import os
+        prm = self.prm
+        path = os.path.join(prm.simulation_control.output_path,
+                            prm.restart.filename)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, u=np.asarray(x),
+                 previous=np.stack([np.asarray(p) for p in previous]),
+                 control=json.dumps(self.control.serialize()),
+                 pvd=json.dumps(self.pvd.serialize()),
+                 n_dofs=self.op.n_dofs)
+        os.replace(tmp, path + ".npz")
+
+    def read_checkpoint(self):
+        import json
+        import os
+        prm = self.prm
+        path = os.path.join(prm.simulation_control.output_path,
+                            prm.restart.filename) + ".npz"
+        data = np.load(path, allow_pickle=False)
+        if int(data["n_dofs"]) != self.op.n_dofs:
+            raise ValueError("checkpoint does not match current mesh")
+        self.control.deserialize(json.loads(str(data["control"])))
+        self.pvd.deserialize(json.loads(str(data["pvd"])))
+        return (jnp.asarray(data["u"]),
+                [jnp.asarray(p) for p in data["previous"]])
 
     def l2_errors(self, x, t=0.0):
         if self.exact is None:

@@ -92,6 +92,103 @@ def torques_on_boundary(op, u, boundary_faces: np.ndarray, center):
 
 
 # --------------------------------------------------------------------------
+# grad-div (Taylor-Hood) variants: velocity and pressure live in two
+# different spaces, so the face/volume integrals tabulate both bases at
+# the velocity space's quadrature points (exact — no interpolation of
+# the pressure onto velocity nodes)
+# --------------------------------------------------------------------------
+
+def _gd_face_traction(gdop, x, elems, local_face, n_q1d=None):
+    """(traction, meas, wts, xq) at face quad points for the GD mixed
+    state x (flat [Nv*d + Np])."""
+    d = gdop.dim
+    sv, sp = gdop.space_v, gdop.space_p
+    n_q1d = n_q1d or (sv.degree + 1)
+    fpts, fwts, Bv, Gv, _ = sv.basis.face_quadrature(int(local_face), n_q1d)
+    Bp, _, _ = sp.basis.tabulate(fpts)
+    Bv = jnp.asarray(Bv, gdop.dtype)
+    Gv = jnp.asarray(Gv, gdop.dtype)
+    Bp = jnp.asarray(Bp, gdop.dtype)
+    w = jnp.asarray(fwts, gdop.dtype)
+
+    v, p = gdop.split(x)
+    xe = gdop.xe[elems]
+    ve = gather_elements(v, gdop.conn_v[elems])
+    pe = p[gdop.conn_p[elems]]
+    J = jnp.einsum("fni,qnj->fqij", xe, Gv)
+    _, Jinv = det_and_inv(J)
+    meas, normal = face_measure_and_normal(J, int(local_face))
+    pq = jnp.einsum("qn,fn->fq", Bp, pe)
+    dv_dxi = jnp.einsum("qna,fnc->fqca", Gv, ve)
+    gv = jnp.einsum("fqca,fqai->fqci", dv_dxi, Jinv)
+    sym = gv + jnp.swapaxes(gv, -1, -2)
+    traction = (-pq[..., None] * normal
+                + gdop.nu * jnp.einsum("fqij,fqj->fqi", sym, normal))
+    xq = jnp.einsum("qn,fnd->fqd", Bv, xe)
+    return traction, meas, w, xq
+
+
+def gd_forces_on_boundary(gdop, x, boundary_faces: np.ndarray):
+    """Net force [d] the fluid exerts on one boundary (GD mixed state)."""
+    d = gdop.dim
+    total = jnp.zeros(d, dtype=gdop.dtype)
+    for lf in np.unique(boundary_faces[:, 1]):
+        sel = boundary_faces[boundary_faces[:, 1] == lf][:, 0]
+        tr, meas, w, _ = _gd_face_traction(gdop, x, sel, int(lf))
+        total = total - jnp.einsum("fqi,fq,q->i", tr, meas, w)
+    return total
+
+
+def gd_torques_on_boundary(gdop, x, boundary_faces: np.ndarray, center):
+    d = gdop.dim
+    out = jnp.zeros(1 if d == 2 else 3, dtype=gdop.dtype)
+    center = jnp.asarray(center, dtype=gdop.dtype)
+    for lf in np.unique(boundary_faces[:, 1]):
+        sel = boundary_faces[boundary_faces[:, 1] == lf][:, 0]
+        tr, meas, w, xq = _gd_face_traction(gdop, x, sel, int(lf))
+        r = xq - center
+        if d == 2:
+            tz = r[..., 0] * tr[..., 1] - r[..., 1] * tr[..., 0]
+            out = out - jnp.einsum("fq,fq,q->", tz, meas, w)[None]
+        else:
+            out = out - jnp.einsum("fqi,fq,q->i", jnp.cross(r, tr),
+                                   meas, w)
+    return out
+
+
+def _gd_volume(gdop):
+    J = jnp.einsum("eni,qnj->eqij", gdop.xe, gdop.Gv)
+    detJ, Jinv = det_and_inv(J)
+    return detJ * gdop.w[None, :], Jinv
+
+
+def gd_kinetic_energy(gdop, x):
+    v, _ = gdop.split(x)
+    ve = gather_elements(v, gdop.conn_v)
+    vq = jnp.einsum("qn,enc->eqc", gdop.Bv, ve)
+    wdet, _ = _gd_volume(gdop)
+    vol = jnp.sum(wdet)
+    return 0.5 * jnp.sum(wdet * jnp.sum(vq * vq, axis=-1)) / vol
+
+
+def gd_enstrophy(gdop, x):
+    d = gdop.dim
+    v, _ = gdop.split(x)
+    ve = gather_elements(v, gdop.conn_v)
+    wdet, Jinv = _gd_volume(gdop)
+    dv_dxi = jnp.einsum("qna,enc->eqca", gdop.Gv, ve)
+    grad = jnp.einsum("eqca,eqai->eqci", dv_dxi, Jinv)
+    if d == 2:
+        om = (grad[..., 1, 0] - grad[..., 0, 1])[..., None]
+    else:
+        om = jnp.stack([grad[..., 2, 1] - grad[..., 1, 2],
+                        grad[..., 0, 2] - grad[..., 2, 0],
+                        grad[..., 1, 0] - grad[..., 0, 1]], axis=-1)
+    vol = jnp.sum(wdet)
+    return 0.5 * jnp.sum(wdet * jnp.sum(om * om, axis=-1)) / vol
+
+
+# --------------------------------------------------------------------------
 # volume quantities
 # --------------------------------------------------------------------------
 

@@ -119,6 +119,74 @@ def write_vtu(path: str, points: np.ndarray, cells: np.ndarray,
         fh.write(xml)
 
 
+def subdivide_patches(space, point_data: dict[str, np.ndarray],
+                      subdivision: int):
+    """deal.II ``build_patches(subdivision)`` equivalent: sample every
+    element on an (s+1)^dim reference lattice and emit disconnected
+    per-element patches (points duplicated at element interfaces, like
+    the reference's DataOut patches).
+
+    Returns (points, cells, point_data) ready for ``write_vtu``.
+    """
+    s = int(subdivision)
+    dim = space.dim
+    n1d = s + 1
+    # reference lattice (lexicographic, axis 0 fastest — matches the
+    # basis node convention)
+    axes = [np.linspace(0.0, 1.0, n1d)] * dim
+    grids = np.meshgrid(*axes, indexing="ij")
+    ref = np.stack([g.reshape(-1, order="F") for g in grids], axis=-1)
+    B, _, _ = space.basis.tabulate(ref)              # [n_lat, nn]
+    xe = space.element_coords()                       # [E, nn, d]
+    E = xe.shape[0]
+    pts = np.einsum("ln,end->eld", B, xe).reshape(-1, dim)
+    out_data = {}
+    for name, arr in point_data.items():
+        arr = np.asarray(arr)
+        ae = arr[space.elem_nodes]                    # [E, nn, ...] or [E, nn]
+        if ae.ndim == 2:
+            vals = np.einsum("ln,en->el", B, ae).reshape(-1)
+        else:
+            vals = np.einsum("ln,enc->elc", B, ae).reshape(
+                -1, ae.shape[-1])
+        out_data[name] = vals
+    # per-element lattice subcells, offset per element
+    lat_ids = np.arange(E)[:, None] * (n1d ** dim) + \
+        np.arange(n1d ** dim)[None, :]
+    cells = subcell_connectivity(lat_ids, s, dim)
+    return pts, cells, out_data
+
+
+def write_grouped_output(outdir: str, basename: str, points: np.ndarray,
+                         cells: np.ndarray,
+                         point_data: dict[str, np.ndarray],
+                         group_files: int) -> str:
+    """Reference ``write_vtu_with_pvtu_record`` parity: split the cells
+    into ``group_files`` pieces (each .vtu holding only its own points)
+    under a .pvtu master.  Returns the master's file name."""
+    g = max(1, int(group_files))
+    pieces = []
+    chunks = np.array_split(np.arange(cells.shape[0]), g)
+    for gi, chunk in enumerate(chunks):
+        if chunk.size == 0:
+            continue
+        sub = cells[chunk]
+        ids, inv = np.unique(sub.reshape(-1), return_inverse=True)
+        sub_cells = inv.reshape(sub.shape)
+        sub_data = {k: np.asarray(v)[ids] for k, v in point_data.items()}
+        name = f"{basename}.{gi}.vtu"
+        write_vtu(os.path.join(outdir, name), points[ids], sub_cells,
+                  sub_data)
+        pieces.append(name)
+    master = f"{basename}.pvtu"
+    names = {}
+    for k, v in point_data.items():
+        v = np.asarray(v)
+        names[k] = 3 if v.ndim > 1 else 1
+    write_pvtu(os.path.join(outdir, master), pieces, names)
+    return master
+
+
 def write_pvtu(path: str, piece_files: list[str],
                point_data_names: dict[str, int]) -> None:
     """Parallel wrapper: point_data_names maps name -> n_components."""

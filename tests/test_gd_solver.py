@@ -140,6 +140,209 @@ end
     assert rate > 2.6, f"GD Q2 velocity rate {rate} ({errs})"
 
 
+GD_TRANSIENT_DECK = """
+subsection simulation control
+  set method        = {method}
+  set time step     = {dt}
+  set time end      = {tend}
+  set output frequency = 0
+  set output path   = {outdir}/
+end
+subsection physical properties
+  set kinematic viscosity = 0.1
+end
+subsection FEM
+  set pressure order = 1
+end
+subsection mesh
+  set type = dealii
+  set grid type = hyper_cube
+  set grid arguments = 0 : 1 : true
+  set initial refinement = 2
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = exp(-t)*y*y
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = function
+    subsection u
+      set Function expression = exp(-t)*y*y
+    end
+  end
+  subsection bc 2
+    set id = 2
+    set type = function
+    subsection u
+      set Function expression = exp(-t)*y*y
+    end
+  end
+  subsection bc 3
+    set id = 3
+    set type = function
+    subsection u
+      set Function expression = exp(-t)*y*y
+    end
+  end
+end
+subsection initial conditions
+  set type = nodal
+  subsection uvwp
+    set Function expression = y*y; 0; x
+  end
+end
+subsection source term
+  set enable = true
+  subsection xyz
+    set Function expression = mms
+  end
+end
+subsection analytical solution
+  set enable = true
+  subsection uvwp
+    set Function expression = exp(-t)*y*y; 0; exp(-t)*x
+  end
+end
+subsection forces
+  set calculate forces = true
+end
+subsection post-processing
+  set calculate kinetic energy = true
+end
+subsection restart
+  set checkpoint = {checkpoint}
+  set frequency  = 2
+  set restart    = {restart}
+  set filename   = {outdir}/gdrestart
+end
+subsection non-linear solver
+  set verbosity = quiet
+  set tolerance = 1e-10
+  set max iterations = 12
+end
+subsection linear solver
+  set verbosity = quiet
+  set relative residual = 1e-6
+  set minimum residual = 1e-13
+end
+subsection test
+  set enable = true
+end
+"""
+
+
+def test_gd_transient_loop_and_tables(tmp_path):
+    """Full GD BDF2 time loop through solve(): MMS accuracy holds at
+    every step and the forces/KE tables land on disk."""
+    prm = SimulationParameters.from_text(
+        GD_TRANSIENT_DECK.format(method="bdf2", dt=0.05, tend=0.2,
+                                 outdir=tmp_path, checkpoint="false",
+                                 restart="false"), dim=2)
+    s = GDNavierStokesSolver(prm)
+    x = s.solve()
+    ev, ep = s.l2_errors(x, t=0.2)
+    assert ev < 2e-4, f"GD transient MMS error {ev}"
+    assert (tmp_path / "force.0.dat").exists()
+    assert (tmp_path / "kinetic_energy.dat").exists()
+
+
+def test_gd_checkpoint_restart(tmp_path):
+    """GD restart continues the transient bitwise-close to an
+    uninterrupted run (mirrors the GLS golden-restart test)."""
+    full = SimulationParameters.from_text(
+        GD_TRANSIENT_DECK.format(method="bdf2", dt=0.05, tend=0.2,
+                                 outdir=tmp_path, checkpoint="false",
+                                 restart="false"), dim=2)
+    s_full = GDNavierStokesSolver(full)
+    x_full = s_full.solve()
+
+    first = SimulationParameters.from_text(
+        GD_TRANSIENT_DECK.format(method="bdf2", dt=0.05, tend=0.1,
+                                 outdir=tmp_path, checkpoint="true",
+                                 restart="false"), dim=2)
+    s1 = GDNavierStokesSolver(first)
+    s1.solve()
+    second = SimulationParameters.from_text(
+        GD_TRANSIENT_DECK.format(method="bdf2", dt=0.05, tend=0.2,
+                                 outdir=tmp_path, checkpoint="true",
+                                 restart="true"), dim=2)
+    s2 = GDNavierStokesSolver(second)
+    x2 = s2.solve()
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_full),
+                               atol=1e-9)
+
+
+def test_gd_periodic_channel():
+    """Periodic-in-x channel driven by a body force: the GD pair
+    reproduces Poiseuille u = G/(2 nu) y (1-y) exactly (Q2 contains it)."""
+    nu, G = 0.1, 1.0
+    extra = f"""
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = periodic
+    set periodic_id = 1
+    set periodic_direction = 0
+  end
+  subsection bc 1
+    set id = 1
+    set type = periodic
+    set periodic_id = 0
+    set periodic_direction = 0
+  end
+  subsection bc 2
+    set id = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id = 3
+    set type = noslip
+  end
+end
+subsection source term
+  set enable = true
+  subsection xyz
+    set Function expression = {G}; 0; 0
+  end
+end
+subsection analytical solution
+  set enable = true
+  subsection uvwp
+    set Function expression = {G / (2 * nu)}*y*(1-y); 0; 0
+  end
+end
+"""
+    prm = SimulationParameters.from_text(
+        BASE.format(nu=nu, refine=2, extra=extra), dim=2)
+    s = GDNavierStokesSolver(prm)
+    assert len(s._mesh.periodic) >= 1   # wiring reached the mesh
+    x, res = s.solve_steady()
+    ev, ep = s.l2_errors(x)
+    assert ev < 1e-8, f"GD periodic Poiseuille velocity error {ev}"
+
+
+def test_gd_sdirk_step():
+    """SDIRK22 through the GD stage sequencing: 2nd-order decay."""
+    prm = SimulationParameters.from_text(
+        GD_TRANSIENT_DECK.format(method="sdirk2", dt=0.05, tend=0.2,
+                                 outdir="/tmp", checkpoint="false",
+                                 restart="false"), dim=2)
+    prm.simulation_control.output_frequency = 0
+    prm.forces.calculate_forces = False
+    prm.post_processing.calculate_kinetic_energy = False
+    s = GDNavierStokesSolver(prm)
+    x = s.solve()
+    ev, ep = s.l2_errors(x, t=0.2)
+    assert ev < 2e-4, f"GD SDIRK22 MMS error {ev}"
+
+
 def test_gd_transient_step():
     """One BDF1 step on the decaying space-exact field runs and stays
     close to the exact decay."""

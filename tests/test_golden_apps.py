@@ -37,24 +37,33 @@ def numdiff(actual: str, expected: str, rtol=2e-3, atol=1e-8):
                 f"numeric drift {va} vs {ve} in line:\n  {la}"
 
 
-def run_deck(name: str, dim: int, tmp_path) -> str:
+def run_deck(name: str, dim: int, tmp_path, solver="gls",
+             n_shards=None) -> str:
     from softx_2020_200_tpu.apps.common import run_app
+    kw = {}
+    if solver == "gd":
+        from softx_2020_200_tpu.solvers.gd import GDNavierStokesSolver
+        kw["solver_cls"] = GDNavierStokesSolver
     deck = os.path.join(GOLDEN_DIR, name + ".prm")
+    args = [deck] + ([str(n_shards)] if n_shards else [])
     cwd = os.getcwd()
     os.chdir(tmp_path)
     buf = io.StringIO()
     try:
         with contextlib.redirect_stdout(buf):
-            rc = run_app(dim, [deck])
+            rc = run_app(dim, args, **kw)
     finally:
         os.chdir(cwd)
     assert rc == 0
     return buf.getvalue()
 
 
-def check_golden(name: str, dim: int, tmp_path):
-    out = run_deck(name, dim, tmp_path)
-    path = os.path.join(GOLDEN_DIR, name + ".output")
+def check_golden(name: str, dim: int, tmp_path, solver="gls",
+                 n_shards=None, out=None, golden_name=None):
+    if out is None:
+        out = run_deck(name, dim, tmp_path, solver=solver,
+                       n_shards=n_shards)
+    path = os.path.join(GOLDEN_DIR, (golden_name or name) + ".output")
     if os.environ.get("REGEN_GOLDEN") == "1" or not os.path.exists(path):
         with open(path, "w") as fh:
             fh.write(out)
@@ -69,3 +78,42 @@ def test_golden_couette_gls(tmp_path):
 
 def test_golden_mms_bdf2(tmp_path):
     check_golden("mms_bdf2", 2, tmp_path)
+
+
+def test_golden_gd_cavity(tmp_path):
+    """GD Taylor-Hood steady cavity with wall forces (reference
+    applications_tests gd tier)."""
+    check_golden("gd_cavity", 2, tmp_path, solver="gd")
+
+
+def test_golden_gd_mms_bdf2(tmp_path):
+    """GD transient BDF2 MMS through the full gd CLI loop."""
+    check_golden("gd_mms_bdf2", 2, tmp_path, solver="gd")
+
+
+def test_golden_periodic_gls(tmp_path):
+    """Periodic-in-x channel driven by a body force (periodic deck)."""
+    check_golden("periodic_gls", 2, tmp_path)
+
+
+def test_golden_kelly_steady(tmp_path):
+    """Steady Kelly adaptation cycles through the CLI (adaptation deck:
+    refine toward the lid corners, L2 error per cycle)."""
+    check_golden("kelly_steady", 2, tmp_path)
+
+
+def test_golden_restart_adaptive_dt(tmp_path):
+    """CFL-adaptive-dt transient interrupted by a checkpoint: the
+    restarted leg's step-by-step output is golden (reference restart
+    tests continue ADAPTIVE-dt runs bitwise — SURVEY §4)."""
+    run_deck("restart_adaptive_a", 2, tmp_path)
+    out = run_deck("restart_adaptive_b", 2, tmp_path)
+    check_golden("restart_adaptive_b", 2, tmp_path, out=out)
+
+
+def test_golden_mms_bdf2_multidevice(tmp_path):
+    """The SAME mms_bdf2 deck through the CLI on an 8-device shard_map
+    mesh (the reference's mpirun=N application-test variants): L2 errors
+    must match the single-device golden within the numdiff band."""
+    out = run_deck("mms_bdf2_np8", 2, tmp_path, n_shards=8)
+    check_golden("mms_bdf2_np8", 2, tmp_path, out=out)

@@ -93,6 +93,79 @@ def test_vtu_output_and_pvd(tmp_path):
     assert pvd.exists() and "out.00000.vtu" in pvd.read_text()
 
 
+def test_vtu_subdivision_patches(tmp_path):
+    """deck `subdivision = 3`: per-element (s+1)^dim patches, linear
+    fields reproduced exactly at the sample points."""
+    from softx_2020_200_tpu.utils.vtu import subdivide_patches
+    s = couette_solver()
+    u, _ = s.solve_steady()
+    un = np.asarray(u)
+    pts, cells, data = subdivide_patches(
+        s.space, {"velocity": un[:, :2]}, 3)
+    E = s.space.n_elements
+    assert pts.shape == (E * 16, 2) and cells.shape == (E * 9, 4)
+    # Couette u = (y, 0) is linear: interpolation at patch points exact
+    np.testing.assert_allclose(data["velocity"][:, 0], pts[:, 1],
+                               atol=1e-10)
+    # engine path writes the patched file
+    s.prm.simulation_control.output_path = str(tmp_path)
+    s.prm.simulation_control.subdivision = 3
+    s.write_output(u, 0.0)
+    assert (tmp_path / "out.00000.vtu").exists()
+
+
+def test_grouped_pvtu_output(tmp_path):
+    """deck `group files = 2`: two .vtu pieces + a .pvtu master, with
+    every cell present exactly once across the pieces."""
+    s = couette_solver()
+    u, _ = s.solve_steady()
+    s.prm.simulation_control.output_path = str(tmp_path)
+    s.prm.simulation_control.group_files = 2
+    s.write_output(u, 0.0)
+    master = tmp_path / "out.00000.pvtu"
+    assert master.exists()
+    text = master.read_text()
+    assert "out.00000.0.vtu" in text and "out.00000.1.vtu" in text
+    assert (tmp_path / "out.00000.0.vtu").exists()
+    assert (tmp_path / "out.00000.1.vtu").exists()
+    # the PVD time series points at the master
+    assert "out.00000.pvtu" in (tmp_path / "out.pvd").read_text()
+
+
+def test_torque_center_of_rotation():
+    """Torque about a shifted center picks up the r x F moment arm:
+    T(c) = T(0) - c x F exactly (2D)."""
+    import jax.numpy as jnp
+    s = couette_solver(nu=0.1)
+    u, _ = s.solve_steady()
+    u = u.at[:, 2].add(-jnp.mean(u[:, 2]))
+    faces = s.space.boundary_faces[2]
+    F = np.asarray(post.forces_on_boundary(s.op, u, faces))
+    T0 = float(np.asarray(post.torques_on_boundary(
+        s.op, u, faces, center=[0.0, 0.0]))[0])
+    c = np.array([0.3, -0.2])
+    Tc = float(np.asarray(post.torques_on_boundary(
+        s.op, u, faces, center=c))[0])
+    assert Tc == pytest.approx(T0 - (c[0] * F[1] - c[1] * F[0]),
+                               abs=1e-10)
+    # deck wiring: `cor x/y` keys reach the per-boundary center
+    deck = parse_prm("""
+subsection boundary conditions
+  set number = 1
+  subsection bc 0
+    set id = 2
+    set type = noslip
+    set cor x = 0.3
+    set cor y = -0.2
+  end
+end
+""")
+    from softx_2020_200_tpu.core.parameters import BoundaryConditionsParams
+    bcp = BoundaryConditionsParams()
+    bcp.parse(deck)
+    assert bcp.bcs[0].center_of_rotation(2) == [0.3, -0.2]
+
+
 def test_checkpoint_restart_roundtrip(tmp_path):
     """Transient restart reproduces the uninterrupted run bitwise-close
     (reference §3.4: golden restart tests)."""
