@@ -42,6 +42,10 @@ class Mesh:
     # element-lattice dims when the mesh is a logically-Cartesian block
     # (enables the structured fast path in ops/structured.py)
     structured_shape: tuple | None = None
+    # per-cell quadratic geometry lattice [E, 3^dim, dim] (lexicographic)
+    # for curved second-order gmsh cells; None = straight-edged /
+    # manifold-described geometry
+    geom_nodes: np.ndarray | None = None
 
     @property
     def n_cells(self) -> int:
@@ -126,6 +130,17 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
         pol[:, :, 1] = th0 + dth
         nodes_pol = np.einsum("nc,ecd->end", w, pol)
         return _from_polar(nodes_pol, center)
+
+    if mesh.geom_nodes is not None:
+        # curved second-order cells (gmsh quad9/hex27): map through the
+        # per-cell quadratic geometry lattice instead of the corners.
+        # Isoparametric accuracy needs FE degree >= 2 downstream (the
+        # reference's MappingQ/'qmapping all' behavior).
+        from .basis import TensorBasis
+        geom = (mesh.geom_nodes if elem_ids is None
+                else mesh.geom_nodes[np.asarray(elem_ids)])
+        B2, _, _ = TensorBasis(dim, 2).tabulate(ref_nodes)
+        return np.einsum("nk,ekd->end", B2, geom)
 
     nodes = np.einsum("nc,ecd->end", w, corner_coords)
 
@@ -285,10 +300,27 @@ def _refine_once(mesh: Mesh) -> Mesh:
                 faces.append((int(e) * nc + ci, int(lf), int(bid)))
     new_faces = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
 
+    new_geom = None
+    if mesh.geom_nodes is not None:
+        # children inherit the parent's quadratic map: evaluate it on
+        # each child's own Q2 lattice (child ci spans [off, off+1]/2)
+        from .basis import TensorBasis
+        tb = TensorBasis(dim, 2)
+        Ws = []
+        for ci in range(nc):
+            off = np.array([(ci >> d) & 1 for d in range(dim)],
+                           dtype=np.float64)
+            ref_child = (off[None, :] + tb.nodes) / 2.0
+            B2, _, _ = tb.tabulate(ref_child)          # [3^dim, 3^dim]
+            Ws.append(B2)
+        W = np.stack(Ws)                               # [nc, nn2, nn2]
+        child_geom = np.einsum("cnk,ekd->ecnd", W, mesh.geom_nodes)
+        new_geom = child_geom.reshape(E * nc, n1d ** dim, dim)
+
     return Mesh(dim=dim, vertices=new_vertices, cells=new_cells,
                 boundary_faces=new_faces, manifold_all=mesh.manifold_all,
                 boundary_manifolds=dict(mesh.boundary_manifolds),
-                periodic=list(mesh.periodic))
+                periodic=list(mesh.periodic), geom_nodes=new_geom)
 
 
 # --------------------------------------------------------------------------

@@ -59,11 +59,115 @@ def _transfer_maps(fine_space, coarse_space):
     return masters.astype(np.int32), B, inject.astype(np.int32)
 
 
-def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
-    """Build the level list for a structured-lattice GLS solver.
+def _coarsen_forest(forest):
+    """One-level-coarser forest: merge every complete sibling family,
+    then re-balance (levels never exceed the input's anywhere)."""
+    from ..fem.forest import Forest
+    new = Forest.__new__(Forest)
+    new.base = forest.base
+    new.dim = forest.dim
+    new.leaves = [set(s) for s in forest.leaves]
+    new._adjacency = forest._adjacency
+    marked = [(b, leaf) for b, s in enumerate(new.leaves)
+              for leaf in s if leaf[0] > 0]
+    new.coarsen(marked)
+    new.balance()
+    return new
 
-    Returns (level_ops, mg_consts): static per-level operators + the
-    traced-array pytree (finest first; level 0 carries no transfers).
+
+def _hc_arrays(hc):
+    """Hanging-constraint arrays for the mg consts dict (may be empty)."""
+    return dict(hc_ids=hc.ids, hc_masters=hc.masters,
+                hc_weights=hc.weights)
+
+
+def build_forest_hierarchy(solver, min_elems: int = 64,
+                           max_levels: int = 10):
+    """Mesh-AGNOSTIC hierarchy: coarsen the solver's forest level by
+    level (works on gmsh/multiblock base meshes, rotated adjacency, and
+    Kelly-adapted leaf sets — the meshes the structured path rejects).
+
+    Transfers are FE interpolation through base-cell reference
+    coordinates (exact on curved/manifold cells because both levels
+    share the base-cell parametrization); each level carries its own
+    hanging-node constraints.  Replaces the reference's mesh-agnostic
+    ILU/AMG slot (SURVEY §3.3 hard part #2).
+    """
+    from ..solvers.gls import GLSOperator
+    from ..solvers.boundary import BoundaryHandler
+    from ..fem.dof import FESpace
+    from ..fem.constraints import build_hanging_constraints
+    from ..fem.transfer import (_new_node_base_positions,
+                                locate_in_forest)
+
+    space = solver.space
+    d = space.dim
+    mask0 = solver.bh.mask
+    if solver.hc.n:
+        mask0 = mask0 | jnp.zeros_like(mask0).at[solver.hc.ids].set(True)
+    level_ops = [solver.op]
+    mg = [dict(solver.op.consts(), bh_mask=mask0,
+               **_hc_arrays(solver.hc))]
+
+    cur_forest = solver.forest
+    cur_space = space
+    cur_elem_of = solver._elem_of
+    while (len(level_ops) < max_levels
+           and cur_space.n_elements > min_elems):
+        cforest = _coarsen_forest(cur_forest)
+        if cforest.n_leaves() >= cur_forest.n_leaves():
+            break
+        cmesh, c_elem_of, c_ncf = cforest.build_mesh()
+        # deck-declared periodicity lives on the BUILT fine mesh (set up
+        # before DoF numbering); propagate it so coarse spaces fuse the
+        # same seams
+        cmesh.periodic = list(space.mesh.periodic)
+        cspace = FESpace(cmesh, space.degree)
+        chc = build_hanging_constraints(cspace, c_ncf)
+        cop = GLSOperator(cspace, solver.op.nu,
+                          n_q1d=int(round(solver.op.n_q
+                                          ** (1 / d))),
+                          stab=solver.op.stab, dtype=solver.op.dtype)
+        cbh = BoundaryHandler(cspace, solver.prm.boundary_conditions)
+        cmask = cbh.mask
+        if chc.n:
+            cmask = cmask | jnp.zeros_like(cmask).at[chc.ids].set(True)
+
+        # prolongation: every FINE node located in the coarse forest
+        bc_f, bp_f = _new_node_base_positions(cur_space, cur_forest,
+                                              cur_elem_of)
+        elem_c, ref_c = locate_in_forest(bc_f, bp_f, cforest,
+                                         c_elem_of, d)
+        Bp, _, _ = cspace.basis.tabulate(ref_c)        # [Nf, nn_c]
+        masters = cspace.elem_nodes[elem_c]
+
+        # state restriction: every COARSE node located in the fine forest
+        bc_c, bp_c = _new_node_base_positions(cspace, cforest, c_elem_of)
+        elem_f, ref_f = locate_in_forest(bc_c, bp_c, cur_forest,
+                                         cur_elem_of, d)
+        Br, _, _ = cur_space.basis.tabulate(ref_f)     # [Nc, nn_f]
+        inj_masters = cur_space.elem_nodes[elem_f]
+
+        level_ops.append(cop)
+        mg.append(dict(cop.consts(), bh_mask=cmask,
+                       masters=jnp.asarray(masters.astype(np.int32)),
+                       weights=jnp.asarray(Bp, solver.op.dtype),
+                       inj_masters=jnp.asarray(
+                           inj_masters.astype(np.int32)),
+                       inj_weights=jnp.asarray(Br, solver.op.dtype),
+                       **_hc_arrays(chc)))
+        cur_forest, cur_space, cur_elem_of = cforest, cspace, c_elem_of
+    return level_ops, mg
+
+
+def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
+    """Build the level list for a GLS solver.
+
+    Structured lattices coarsen by halving the lattice; any other mesh
+    with a forest (multiblock/gmsh base cells, Kelly-adapted leaf sets)
+    coarsens through the forest.  Returns (level_ops, mg_consts):
+    static per-level operators + the traced-array pytree (finest first;
+    level 0 carries no transfers).
     """
     from ..solvers.gls import GLSOperator
     from ..solvers.boundary import BoundaryHandler
@@ -73,6 +177,8 @@ def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
                bh_mask=solver.bh.mask)]
     mesh = space.mesh
     if mesh.structured_shape is None:
+        if getattr(solver, "forest", None) is not None:
+            return build_forest_hierarchy(solver, max_levels=max_levels)
         return level_ops, mg
     ne = tuple(mesh.structured_shape)
     lo = mesh.vertices.min(axis=0)
@@ -115,6 +221,26 @@ def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
     return level_ops, mg
 
 
+def _hc_ops(mgl):
+    """(distribute, transpose) closures for one level's hanging rows
+    (identity when the level is conforming); static-shape branch."""
+    ids = mgl.get("hc_ids")
+    if ids is None or ids.shape[0] == 0:
+        return (lambda u: u), (lambda R: R)
+    masters, weights = mgl["hc_masters"], mgl["hc_weights"]
+
+    def distribute(u):
+        vals = jnp.einsum("hm,hmc->hc", weights, u[masters])
+        return u.at[ids].set(vals)
+
+    def transpose(R):
+        rh = R[ids]
+        R = R.at[masters].add(weights[:, :, None] * rh[:, None, :])
+        return R.at[ids].set(0.0)
+
+    return distribute, transpose
+
+
 def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
                 coarse_iters: int = 25):
     """Return builder(u, uprev, fq, alpha0, sdt, fine_mask, mg) ->
@@ -122,13 +248,22 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
     n_levels = len(level_ops)
 
     def builder(u, uprev, fq, alpha0, sdt, fine_mask, mg):
+        hcs = [_hc_ops(mg[li]) for li in range(n_levels)]
+
         # per-level linearization states
         states = [(u, uprev, fq, fine_mask)]
         for li in range(1, n_levels):
             uf, upf, _, _ = states[-1]
-            inj = mg[li]["inject"]
-            uc = uf[inj]
-            upc = upf[inj]
+            if "inject" in mg[li]:
+                inj = mg[li]["inject"]
+                uc = uf[inj]
+                upc = upf[inj]
+            else:
+                # forest path: interpolate the fine state at the coarse
+                # nodes (GLL lattices are not nested under bisection)
+                iw, im = mg[li]["inj_weights"], mg[li]["inj_masters"]
+                uc = jnp.einsum("nm,nmc->nc", iw, uf[im])
+                upc = jnp.einsum("nm,nmc->nc", iw, upf[im])
             op = level_ops[li]
             fqc = jnp.zeros((op.space.n_elements, op.n_q, op.dim),
                             u.dtype)
@@ -137,19 +272,24 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
         mats = []
         for li, (ul, upl, fql, mask) in enumerate(states):
             op = level_ops[li]
+            hcD, hcT = hcs[li]
             # pass EVERY level array through (incl. the pallas geometry
             # rows pg_xe/pg_h on the fine level) — anything missing here
             # would fall back to a closure constant and blow up the HLO
             C = {k: v for k, v in mg[li].items()
-                 if k not in ("bh_mask", "masters", "weights", "inject")}
+                 if k not in ("bh_mask", "masters", "weights", "inject",
+                              "inj_masters", "inj_weights",
+                              "hc_ids", "hc_masters", "hc_weights")}
             blocks = op.node_blocks(ul, mask, upl, fql, alpha0, sdt, C=C)
             smoother = build_from_node_blocks("block_jacobi", blocks,
                                               mask).apply
 
-            def matvec(v, op=op, ul=ul, upl=upl, fql=fql, mask=mask, C=C):
+            def matvec(v, op=op, ul=ul, upl=upl, fql=fql, mask=mask,
+                       C=C, hcD=hcD, hcT=hcT):
                 f = lambda w: jnp.where(
                     mask, 0.0,
-                    op.residual_free(w, upl, fql, alpha0, sdt, C=C))
+                    hcT(op.residual_free(hcD(w), upl, fql,
+                                         alpha0, sdt, C=C)))
                 return jax.jvp(f, (ul,),
                                (jnp.where(mask, 0.0, v),))[1] \
                     + jnp.where(mask, v, 0.0)
@@ -157,13 +297,18 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
             mats.append((matvec, smoother, mask))
 
         def prolong(li, vc):
+            # constrained coarse rows carry zeros in the cycle: fill
+            # them from their masters before interpolating
+            vc = hcs[li][0](vc)
             return jnp.einsum("fm,fmc->fc", mg[li]["weights"],
                               vc[mg[li]["masters"]])
 
         def restrict(li, rf, Nc):
             out = jnp.zeros((Nc, rf.shape[-1]), rf.dtype)
-            return out.at[mg[li]["masters"]].add(
+            out = out.at[mg[li]["masters"]].add(
                 mg[li]["weights"][:, :, None] * rf[:, None, :])
+            # move residual landing on constrained coarse rows to masters
+            return hcs[li][1](out)
 
         def vcycle(level, r):
             matvec, smoother, mask = mats[level]

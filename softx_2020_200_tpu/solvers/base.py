@@ -212,14 +212,16 @@ class GLSNavierStokesSolver:
             # for masking/preconditioning purposes
             mask = mask | jnp.zeros_like(mask).at[hc.ids].set(True)
         u0 = bh.constrain(u0, t, mask=C["bc_mask"], node_coords=C["nodes"])
-        u0 = hc.distribute(u0)
+        u0 = bh.slip_project(hc.distribute(u0))
         fq = self._source_at(t, qpts=C["qpts_phys"])
 
         def residual(u):
             u = hc.distribute(u)
             R = op.residual_free(u, uprev_combo, fq, alpha0, sdt, C=C)
             R = hc.distribute_transpose(R)
-            return jnp.where(mask, 0.0, R)
+            R = jnp.where(mask, 0.0, R)
+            # rotated slip rows: tangential residual + u.n identity
+            return bh.slip_residual(R, u)
 
         def precond_builder(u):
             if self._mg_builder is not None:
@@ -229,6 +231,7 @@ class GLSNavierStokesSolver:
                 blocks = op.node_blocks(hc.distribute(u), mask,
                                         uprev_combo, fq,
                                         alpha0, sdt, C=C)
+                blocks = bh.slip_project_blocks(blocks)
                 return build_from_node_blocks(
                     self.precond_kind, blocks, mask).apply
             A_e = op.element_matrices(u, mask, uprev_combo, fq, alpha0, sdt)
@@ -250,6 +253,7 @@ class GLSNavierStokesSolver:
             def pstate(u):
                 blocks = op.node_blocks(hc.distribute(u), mask,
                                         uprev_combo, fq, alpha0, sdt, C=C)
+                blocks = bh.slip_project_blocks(blocks)
                 return node_blocks_to_state(self.precond_kind, blocks,
                                             mask)
 

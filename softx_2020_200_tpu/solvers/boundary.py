@@ -10,7 +10,11 @@ nonzero_constraints / zero_constraints Newton semantics.
 
 - noslip:   velocity components masked, value 0
 - function: velocity components masked, values from deck expressions
-- slip:     normal component masked on axis-aligned boundaries
+- slip:     normal component masked on axis-aligned boundaries; on
+            CURVED/non-aligned boundaries the constraint u.n = 0 is a
+            rotated nodal frame (area-weighted nodal normals, residual
+            tangentialized + normal-identity row — deal.II's
+            compute_no_normal_flux_constraints analogue)
 - periodic: handled topologically by FESpace node fusion (no runtime work)
 - outlet:   natural (do-nothing)
 """
@@ -35,6 +39,7 @@ class BoundaryHandler:
         mask = np.zeros((N, nc), dtype=bool)
         # list of (node_indices, [Expression per velocity component])
         self.function_entries: list[tuple[np.ndarray, list[Expression]]] = []
+        slip_rotated: list[int] = []
 
         for bc in bcs.bcs:
             if bc.type == BoundaryType.periodic:
@@ -50,16 +55,112 @@ class BoundaryHandler:
                         exprs.append(Expression(bc.w))
                     self.function_entries.append((nodes, exprs))
             elif bc.type == BoundaryType.slip:
-                axis = self._slip_axis(bc.id)
-                mask[nodes, axis] = True
+                try:
+                    axis = self._slip_axis(bc.id)
+                    mask[nodes, axis] = True
+                except NotImplementedError:
+                    # rotated frame: constrain u.n = 0 at nodal normals
+                    slip_rotated.append(bc.id)
             elif bc.type == BoundaryType.outlet:
                 pass
             else:
                 raise ValueError(f"unhandled boundary type {bc.type}")
 
+        # rotated slip frames (built after Dirichlet masks so stronger
+        # conditions win at shared corner nodes)
+        slip_ids = []
+        slip_normals = []
+        for bid in slip_rotated:
+            nids, nrm = self._nodal_normals(bid)
+            keep = ~mask[nids, :dim].any(axis=1)
+            slip_ids.append(nids[keep])
+            slip_normals.append(nrm[keep])
+        if slip_ids:
+            ids = np.concatenate(slip_ids)
+            nrm = np.concatenate(slip_normals)
+            ids, first = np.unique(ids, return_index=True)
+            nrm = nrm[first]
+            self.slip_nodes = jnp.asarray(ids.astype(np.int32))
+            self.slip_normals = jnp.asarray(nrm)
+        else:
+            self.slip_nodes = jnp.zeros(0, jnp.int32)
+            self.slip_normals = jnp.zeros((0, dim))
+
         self.mask_np = mask
         self.mask = jnp.asarray(mask)
         self.node_coords = jnp.asarray(space.nodes)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_slip(self) -> int:
+        return int(self.slip_nodes.shape[0])
+
+    def _nodal_normals(self, bid: int):
+        """Area-weighted outward unit normals at the nodes of one
+        boundary: (node_ids [S], normals [S, dim])."""
+        space = self.space
+        dim = space.dim
+        basis = space.basis
+        faces = np.asarray(space.boundary_faces[bid])
+        xe_all = space.element_coords()
+        acc = np.zeros((space.n_nodes, dim))
+        for lf in np.unique(faces[:, 1]):
+            sel = faces[faces[:, 1] == lf][:, 0]
+            fpts, fwts, B, G, H = basis.face_quadrature(
+                int(lf), space.degree + 1)
+            xe = xe_all[sel]                           # [F, nn, d]
+            J = np.einsum("fni,qnj->fqij", xe, G)
+            Jj = jnp.asarray(J)
+            meas, normal = face_measure_and_normal(Jj, int(lf))
+            meas = np.asarray(meas)
+            normal = np.asarray(normal)
+            w_face = np.einsum("fq,q->f", meas, fwts)  # face areas
+            n_face = np.einsum("fqd,fq,q->fd", normal, meas, fwts)
+            fnodes = space.elem_nodes[sel][:, basis.face_nodes(int(lf))]
+            np.add.at(acc, fnodes.reshape(-1),
+                      np.repeat(n_face, fnodes.shape[1], axis=0))
+        ids = np.unique(space.boundary_nodes[bid])
+        nrm = acc[ids]
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True),
+                          1e-300)
+        return ids, nrm
+
+    def slip_project(self, u):
+        """Remove the normal velocity component at rotated-slip nodes."""
+        if self.n_slip == 0:
+            return u
+        d = self.space.dim
+        s, n = self.slip_nodes, self.slip_normals.astype(u.dtype)
+        un = jnp.einsum("sd,sd->s", u[s, :d], n)
+        return u.at[s, :d].add(-un[:, None] * n)
+
+    def slip_residual(self, R, u):
+        """Tangentialize residual rows at rotated-slip nodes and install
+        the normal-identity equation (R_n := u.n)."""
+        if self.n_slip == 0:
+            return R
+        d = self.space.dim
+        s = self.slip_nodes
+        n = self.slip_normals.astype(R.dtype)
+        Rn = jnp.einsum("sd,sd->s", R[s, :d], n)
+        un = jnp.einsum("sd,sd->s", u[s, :d], n)
+        return R.at[s, :d].add((un - Rn)[:, None] * n)
+
+    def slip_project_blocks(self, blocks):
+        """Project node-block Jacobians at rotated-slip nodes:
+        B -> P B P + n n^T with P = I - n n^T (keeps the
+        preconditioner consistent with the rotated rows)."""
+        if self.n_slip == 0:
+            return blocks
+        d = self.space.dim
+        s = self.slip_nodes
+        n = self.slip_normals.astype(blocks.dtype)      # [S, d]
+        eye = jnp.eye(d, dtype=blocks.dtype)
+        P = eye[None] - n[:, :, None] * n[:, None, :]   # [S, d, d]
+        Bs = blocks[s][:, :d, :d]
+        Bs = jnp.einsum("sij,sjk,skl->sil", P, Bs, P) \
+            + n[:, :, None] * n[:, None, :]
+        return blocks.at[s, :d, :d].set(Bs)
 
     # ------------------------------------------------------------------
     def _slip_axis(self, bid: int) -> int:

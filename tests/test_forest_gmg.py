@@ -1,0 +1,202 @@
+"""Mesh-agnostic (forest-coarsening) geometric multigrid tests.
+
+The reference gets mesh-independent preconditioning from ILU/AMG on any
+mesh (SURVEY §3.3 hard part #2); the structured-lattice GMG covers only
+generator lattices.  These tests pin the forest hierarchy: gmsh-style
+multiblock bases, Kelly-adapted leaf sets, and the iteration-count win
+over block-Jacobi.
+"""
+
+import numpy as np
+import pytest
+
+from softx_2020_200_tpu.core.parameters import SimulationParameters
+from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
+
+CAVITY_FOREST = """
+subsection simulation control
+  set method = steady
+  set output frequency = 0
+end
+subsection physical properties
+  set kinematic viscosity = 0.05
+end
+subsection mesh
+  set type = dealii
+  set grid type = hyper_cube
+  set grid arguments = 0 : 1 : true
+  set initial refinement = {refine}
+end
+subsection mesh adaptation
+  set type = kelly
+  set fraction type = number
+  set fraction refinement = 0.2
+  set max refinement level = 8
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = noslip
+  end
+  subsection bc 1
+    set id = 1
+    set type = noslip
+  end
+  subsection bc 2
+    set id = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id = 3
+    set type = function
+    subsection u
+      set Function expression = 1
+    end
+  end
+end
+subsection non-linear solver
+  set verbosity = quiet
+  set tolerance = 1e-8
+  set max iterations = 10
+end
+subsection linear solver
+  set verbosity = quiet
+  set relative residual = 1e-4
+  set minimum residual = 1e-11
+  set max krylov vectors = 100
+  set preconditioner = {precond}
+end
+subsection test
+  set enable = true
+end
+"""
+
+
+def _solve_cavity(refine, precond):
+    prm = SimulationParameters.from_text(
+        CAVITY_FOREST.format(refine=refine, precond=precond), dim=2)
+    s = GLSNavierStokesSolver(prm)
+    u, res = s.solve_steady()
+    return s, u, res
+
+
+def test_forest_hierarchy_builds_on_forest_mesh():
+    """A kelly deck routes meshing through the forest (structured_shape
+    is None) yet GMG still finds a multi-level hierarchy."""
+    prm = SimulationParameters.from_text(
+        CAVITY_FOREST.format(refine=4, precond="gmg"), dim=2)
+    s = GLSNavierStokesSolver(prm)
+    assert s.space.mesh.structured_shape is None
+    assert s.precond_kind == "gmg"
+    sizes = [op.space.n_elements for op in s._mg_ops]
+    # levels shrink by 4x down to the coarse-solve floor
+    assert sizes[0] == 256 and sizes[1] == 64, sizes
+
+
+def test_forest_gmg_beats_block_jacobi():
+    """Iteration-count win on the forest cavity (the structured path
+    already shows ~70x; demand >=4x here on the small case)."""
+    s_bj, u_bj, res_bj = _solve_cavity(4, "block_jacobi")
+    s_mg, u_mg, res_mg = _solve_cavity(4, "gmg")
+    it_bj = int(res_bj.linear_iters)
+    it_mg = int(res_mg.linear_iters)
+    assert it_mg * 4 <= it_bj, (it_mg, it_bj)
+    # same nonlinear solution (pressure mean-shifted)
+    d = 2
+    dv = np.abs(np.asarray(u_mg)[:, :d] - np.asarray(u_bj)[:, :d]).max()
+    assert dv < 1e-5, dv
+
+
+def test_forest_gmg_on_adapted_mesh():
+    """After a Kelly cycle the hierarchy rebuilds on the ADAPTED leaf
+    set (hanging constraints on every level) and still converges."""
+    prm = SimulationParameters.from_text(
+        CAVITY_FOREST.format(refine=3, precond="gmg"), dim=2)
+    prm.simulation_control.number_mesh_adaptation = 1
+    s = GLSNavierStokesSolver(prm)
+    u = s.solve()
+    assert s._nc_faces, "kelly cycle should create hanging faces"
+    assert len(s._mg_ops) >= 2
+    assert np.isfinite(np.asarray(u)).all()
+    # the final Newton solve on the adapted mesh converged
+    res = s._solve_jit(u, s._zero_prev, 0.0, 0.0, 0.0, s._consts)
+    assert float(np.asarray(res.res_history)[0]) < 1e-6
+
+
+CYLINDER_DECK = """
+subsection mesh
+  set type = dealii
+  set grid type = channel_with_cylinder
+  set grid arguments = 2.2, 0.41 : 0.2, 0.2 : 0.05
+  set initial refinement = 2
+end
+subsection simulation control
+  set method = steady
+  set output frequency = 0
+end
+subsection mesh adaptation
+  set type = kelly
+end
+subsection physical properties
+  set kinematic viscosity = 0.05
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = 4*1.5*y*(0.41-y)/(0.41*0.41)
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = outlet
+  end
+  subsection bc 2
+    set id = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id = 3
+    set type = noslip
+  end
+end
+subsection non-linear solver
+  set verbosity = quiet
+  set tolerance = 1e-8
+  set max iterations = 12
+end
+subsection linear solver
+  set verbosity = quiet
+  set relative residual = 1e-4
+  set max iters = 3000
+  set preconditioner = {precond}
+end
+subsection test
+  set enable = true
+end
+"""
+
+
+def test_forest_gmg_on_multiblock_cylinder():
+    """Rotated-adjacency multiblock mesh (the O-ring cylinder channel):
+    the forest hierarchy builds and a Newton step converges with fewer
+    linear iterations than block-Jacobi."""
+    results = {}
+    for precond in ("block_jacobi", "gmg"):
+        prm = SimulationParameters.from_text(
+            CYLINDER_DECK.format(precond=precond), dim=2)
+        s = GLSNavierStokesSolver(prm)
+        if precond == "gmg":
+            assert len(s._mg_ops) >= 2, "no hierarchy on the cylinder"
+        u, res = s.solve_steady()
+        results[precond] = (u, int(res.linear_iters),
+                            float(np.asarray(res.res_history)[
+                                int(res.n_iterations)]))
+    u_mg, it_mg, _ = results["gmg"]
+    u_bj, it_bj, _ = results["block_jacobi"]
+    assert it_mg * 2 <= it_bj, (it_mg, it_bj)
+    dv = np.abs(np.asarray(u_mg)[:, :2] - np.asarray(u_bj)[:, :2]).max()
+    assert dv < 1e-4, dv

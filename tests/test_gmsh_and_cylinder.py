@@ -107,6 +107,161 @@ end
     assert np.isfinite(np.asarray(u)).all()
 
 
+def _msh41_quad4() -> str:
+    """The same 2x2 unit-square mesh as MSH22, in MSH 4.1: one surface
+    entity (physical 1), four curve entities (physical 10..13)."""
+    return """$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$Entities
+0 4 1 0
+1 0 0 0 2 0 0 1 10 2 1 -2
+2 2 0 0 2 2 0 1 11 2 2 -3
+3 0 2 0 2 2 0 1 12 2 3 -4
+4 0 0 0 0 2 0 1 13 2 4 -1
+1 0 0 0 2 2 0 1 1 4 1 2 3 4
+$EndEntities
+$Nodes
+3 9 1 9
+1 1 0 2
+1
+2
+0 0 0
+2 0 0
+1 2 0 2
+3
+4
+0 2 0
+2 2 0
+2 1 0 5
+5
+6
+7
+8
+9
+1 0 0
+0 1 0
+1 1 0
+2 1 0
+1 2 0
+$EndNodes
+$Elements
+5 12 1 12
+1 1 1 2
+1 1 5
+2 5 2
+1 2 1 2
+3 2 8
+4 8 4
+1 3 1 2
+5 4 9
+6 9 3
+1 4 1 2
+7 3 6
+8 6 1
+2 1 3 4
+9 1 5 7 6
+10 5 2 8 7
+11 6 7 9 3
+12 7 8 4 9
+$EndElements
+"""
+
+
+def test_read_msh41_quads(tmp_path):
+    """MSH 4.x first-order: same mesh/boundary ids as the 2.2 reader."""
+    p = tmp_path / "m41.msh"
+    p.write_text(_msh41_quad4())
+    mesh = read_msh(str(p), 2)
+    assert mesh.n_cells == 4
+    assert mesh.n_vertices == 9
+    bids = sorted(set(mesh.boundary_faces[:, 2].tolist()))
+    assert bids == [10, 11, 12, 13]
+    assert mesh.boundary_faces.shape[0] == 8
+    # unit-square area
+    space = FESpace(mesh, 1)
+    xe = jnp.asarray(space.element_coords())
+    pts, wts, B, G, H = space.basis.quadrature(2)
+    det, _ = det_and_inv(mapping_jacobian(xe, jnp.asarray(G)))
+    assert float(jnp.sum(det * jnp.asarray(wts)[None, :])) == \
+        pytest.approx(4.0, rel=1e-12)
+
+
+def _msh41_quad9_annulus() -> str:
+    """One SECOND-ORDER quad9 covering the quarter annulus r in [1,2],
+    theta in [0, pi/2]: lattice nodes placed exactly on the polar map
+    (gmsh canonical quad9 ordering: corners ccw, edge mids, center)."""
+    import math
+
+    def pt(r, th):
+        return (r * math.cos(th), r * math.sin(th))
+
+    h = math.pi / 2
+    # gmsh quad9: v0..v3 corners ccw, e4=(01) e5=(12) e6=(23) e7=(30), c8
+    pts = [pt(1, 0), pt(2, 0), pt(2, h), pt(1, h),
+           pt(1.5, 0), pt(2, h / 2), pt(1.5, h), pt(1, h / 2),
+           pt(1.5, h / 2)]
+    nodes = "\n".join(f"{x:.16g} {y:.16g} 0" for x, y in pts)
+    tags = "\n".join(str(k + 1) for k in range(9))
+    return f"""$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$Entities
+0 1 1 0
+1 1 0 0 2 0 0 1 7 2 1 -2
+1 0 0 0 2 2 0 1 1 1 1
+$EndEntities
+$Nodes
+1 9 1 9
+2 1 0 9
+{tags}
+{nodes}
+$EndNodes
+$Elements
+2 2 1 2
+1 1 8 1
+1 1 2 5
+2 1 10 1
+2 1 2 3 4 5 6 7 8 9
+$EndElements
+"""
+
+
+def test_read_msh41_quad9_curved(tmp_path):
+    """Second-order (curved) cells: geometry lands in geom_nodes, the
+    Q2 isoparametric map reproduces the annulus area to the quadratic-
+    geometry error, and uniform refinement keeps nodes on the curve."""
+    p = tmp_path / "annulus.msh"
+    p.write_text(_msh41_quad9_annulus())
+    mesh = read_msh(str(p), 2)
+    assert mesh.n_cells == 1
+    assert mesh.geom_nodes is not None
+    assert mesh.geom_nodes.shape == (1, 9, 2)
+    # inner-arc boundary id from the curve entity's physical tag
+    assert 7 in set(mesh.boundary_faces[:, 2].tolist())
+
+    exact = 3 * np.pi / 4          # quarter annulus, r 1..2
+    space = FESpace(mesh, 2)
+    pts, wts, B, G, H = space.basis.quadrature(4)
+    xe = jnp.asarray(space.element_coords())
+    det, _ = det_and_inv(mapping_jacobian(xe, jnp.asarray(G)))
+    vol = float(jnp.sum(det * jnp.asarray(wts)[None, :]))
+    # the quadratic interpolant of a 90-degree arc under-sweeps the
+    # area by ~1.2% on this one-cell patch — that's the geometry-order
+    # error, not a reader bug
+    assert vol == pytest.approx(exact, rel=1.5e-2)
+
+    # refinement evaluates the parent quadratic map: area error shrinks
+    # and new boundary corners stay ON the quadratic curve
+    fine = mesh.refine_uniform(1)
+    assert fine.geom_nodes is not None and fine.geom_nodes.shape[0] == 4
+    space_f = FESpace(fine, 2)
+    xe_f = jnp.asarray(space_f.element_coords())
+    det_f, _ = det_and_inv(mapping_jacobian(xe_f, jnp.asarray(G)))
+    vol_f = float(jnp.sum(det_f * jnp.asarray(wts)[None, :]))
+    assert vol_f == pytest.approx(vol, rel=1e-6)
+
+
 def test_channel_with_cylinder_mesh():
     mesh = channel_with_cylinder()
     # all four boundary ids present

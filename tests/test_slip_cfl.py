@@ -106,3 +106,94 @@ end
     assert max(dts) > dts[0] * 1.3, f"dt did not grow: {dts}"
     # CFL stays bounded by max cfl (within one growth factor)
     assert s.control.cfl <= 2.0 * 1.2 + 1e-6
+
+
+ROTATION_SLIP_DECK = """
+subsection simulation control
+  set method = steady
+  set output frequency = 0
+end
+subsection physical properties
+  set kinematic viscosity = 1.0
+end
+subsection FEM
+  set velocity order = 2
+  set pressure order = 2
+end
+subsection mesh
+  set type = dealii
+  set grid type = hyper_shell
+  set grid arguments = 0, 0 : 0.25 : 1 : 12 : true
+  set initial refinement = {refine}
+end
+subsection boundary conditions
+  set number = 2
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = -y
+    end
+    subsection v
+      set Function expression = x
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = slip
+  end
+end
+subsection analytical solution
+  set enable = true
+  set verbosity = quiet
+  subsection uvwp
+    set Function expression = -y*(1+1/(x*x+y*y))/17; x*(1+1/(x*x+y*y))/17; (0.5*(x*x+y*y) + log(x*x+y*y) - 0.5/(x*x+y*y))/289
+  end
+end
+subsection non-linear solver
+  set verbosity = quiet
+  set tolerance = 1e-10
+  set max iterations = 10
+end
+subsection linear solver
+  set verbosity = quiet
+  set relative residual = 1e-6
+  set minimum residual = 1e-13
+end
+subsection test
+  set enable = true
+end
+"""
+
+
+def test_rotated_slip_annulus():
+    """Slip on the CURVED outer circle (rotated nodal-normal frames;
+    the axis-aligned mask path cannot express this — it was a known gap
+    in docs/INVENTORY.md).
+
+    Exact solution for inner rotation u_theta(1/4) = 1/4 with slip +
+    zero tangential pseudo-traction (the Laplacian-form natural BC:
+    du_theta/dr = 0 at r = 1): u_theta = (r + 1/r)/17, with
+    p' = u_theta^2 / r balancing the centripetal convection."""
+    errs = []
+    for refine in (1, 2):
+        prm = SimulationParameters.from_text(
+            ROTATION_SLIP_DECK.format(refine=refine), dim=2)
+        s = GLSNavierStokesSolver(prm)
+        assert s.bh.n_slip > 0, "rotated slip frames should be active"
+        # nodal normals on the circle are radial
+        ids = np.asarray(s.bh.slip_nodes)
+        nrm = np.asarray(s.bh.slip_normals)
+        radial = s.space.nodes[ids]
+        radial = radial / np.linalg.norm(radial, axis=1, keepdims=True)
+        align = np.abs(np.einsum("sd,sd->s", nrm, radial))
+        assert align.min() > 0.999, align.min()
+        u, res = s.solve_steady(verbose=False)
+        ev, ep = s.l2_errors(u)
+        errs.append(ev)
+        # no normal flux through the slip wall
+        un = np.einsum("sd,sd->s", np.asarray(u)[ids, :2], nrm)
+        assert np.abs(un).max() < 1e-8
+    assert errs[0] < 5e-3, f"rotated-slip annulus error {errs}"
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 2.0, f"rotated-slip convergence rate {rate} ({errs})"
