@@ -96,7 +96,9 @@ def _run_sharded(s: GLSNavierStokesSolver, n_shards: int) -> int:
             s.write_output(u, t)
 
     u_stack = sh.to_local(np.asarray(u0))
-    sh.run_transient(u_stack, dt, n_steps, order=order, t0=ctrl.time,
-                     on_step=on_step)
+    sh.run_transient(
+        u_stack, dt, n_steps, order=order, t0=ctrl.time,
+        on_step=on_step,
+        startup_scaling=prm.simulation_control.startup_timestep_scaling)
     s.write_tables()
     return 0

@@ -58,7 +58,16 @@ class FESpace:
         # --- periodic fusion: remap slave-boundary nodes onto masters ----
         if mesh.periodic:
             remap = np.arange(nodes.shape[0])
+            # decks declare BOTH directions of each pair (bc 0 -> 1 and
+            # bc 1 -> 0); fusing both ways builds a 2-cycle in `remap`
+            # whose chain resolution collapses to the identity — i.e. NO
+            # fusion at all.  Process each unordered pair exactly once.
+            seen = set()
             for (bid_a, bid_b, axis) in mesh.periodic:
+                key = (min(bid_a, bid_b), max(bid_a, bid_b), axis)
+                if key in seen:
+                    continue
+                seen.add(key)
                 na = _boundary_node_set(mesh, self.basis, elem_nodes, bid_a)
                 nb = _boundary_node_set(mesh, self.basis, elem_nodes, bid_b)
                 if na.size == 0 or nb.size == 0:
@@ -68,13 +77,25 @@ class FESpace:
                 ka = np.round(nodes[na][:, keep] / tol).astype(np.int64)
                 kb = np.round(nodes[nb][:, keep] / tol).astype(np.int64)
                 amap = {tuple(row): idx for row, idx in zip(ka, na)}
+                bset = {tuple(row) for row in kb}
+                unmatched = []
                 for row, idx in zip(kb, nb):
                     master = amap.get(tuple(row))
                     if master is None:
-                        raise ValueError(
-                            f"periodic boundaries {bid_a}/{bid_b}: no match "
-                            f"for node at {nodes[idx]}")
+                        unmatched.append(idx)
+                        continue
                     remap[idx] = master
+                if unmatched:
+                    # a NON-CONFORMING (adapted) seam: the finer side
+                    # has extra nodes, which hang — legitimate only when
+                    # every master-side node does have a partner (the
+                    # coarse lattice nests in the fine one); the extra
+                    # nodes are constrained by the forest's hanging rows
+                    if not all(tuple(row) in bset for row in ka):
+                        idx = unmatched[0]
+                        raise ValueError(
+                            f"periodic boundaries {bid_a}/{bid_b}: no "
+                            f"match for node at {nodes[idx]}")
             # resolve chained identifications (edge/corner nodes are
             # slaves of several periodic pairs: x-then-y-then-z)
             for _ in range(dim):

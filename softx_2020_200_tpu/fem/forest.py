@@ -79,8 +79,11 @@ class Forest:
                 key = tuple(sorted(int(base.cells[b, i]) for i in sel))
                 faces.setdefault(key, []).append((b, f))
 
-        def transform(b1, f1, b2, f2):
-            """(perm, flip) for crossing b1 -> b2 through f1|f2."""
+        def transform(b1, f1, b2, f2, gid_map=None):
+            """(perm, flip) for crossing b1 -> b2 through f1|f2.
+
+            ``gid_map`` translates b1-side corner gids to the matching
+            b2-side gids for PERIODIC seams (no shared vertices)."""
             axis1, side1 = divmod(f1, 2)
             axis2, side2 = divmod(f2, 2)
             pos2 = {int(g): corner_ij[i]
@@ -90,7 +93,8 @@ class Forest:
                 want = [bits.get(a, 0) for a in range(d)]
                 for i in range(nc):
                     if list(corner_ij[i]) == want:
-                        return int(base.cells[b1, i])
+                        g = int(base.cells[b1, i])
+                        return gid_map[g] if gid_map else g
                 raise KeyError(bits)
 
             g0 = corner1({axis1: side1})
@@ -119,6 +123,59 @@ class Forest:
                 (b1, f1), (b2, f2) = lst
                 adj[(b1, f1)] = (b2, f2) + transform(b1, f1, b2, f2)
                 adj[(b2, f2)] = (b1, f1) + transform(b2, f2, b1, f1)
+
+        # periodic seams (declared on the BASE mesh before the forest is
+        # built): match boundary faces of the paired ids by coordinates
+        # modulo the translation axis — p4est's periodic connectivity
+        for (bid_a, bid_b, ax) in getattr(base, "periodic", []):
+            by_bid: dict[int, list] = {}
+            for (e, f, bid) in base.boundary_faces:
+                by_bid.setdefault(int(bid), []).append((int(e), int(f)))
+            fa_list = by_bid.get(int(bid_a), [])
+            fb_list = by_bid.get(int(bid_b), [])
+            if not fa_list or not fb_list:
+                continue
+            tol = _mesh_tolerance(base.vertices, base.cells)
+
+            def face_corners(b, f):
+                axis, side = divmod(f, 2)
+                return [int(base.cells[b, i]) for i in range(nc)
+                        if corner_ij[i, axis] == (1 if side else 0)]
+
+            def tkey(gids):
+                """face key from coordinates with the periodic axis
+                projected out"""
+                pts = base.vertices[gids].copy()
+                pts[:, ax] = 0.0
+                q = np.round(pts / tol).astype(np.int64)
+                return tuple(sorted(map(tuple, q.tolist())))
+
+            b_lookup = {}
+            for (e2, f2) in fb_list:
+                b_lookup[tkey(face_corners(e2, f2))] = (e2, f2)
+            for (e1, f1) in fa_list:
+                if (e1, f1) in adj:
+                    continue
+                partner = b_lookup.get(tkey(face_corners(e1, f1)))
+                if partner is None:
+                    raise ValueError(
+                        f"periodic pair {bid_a}|{bid_b}: no matching "
+                        f"base face for cell {e1} face {f1}")
+                e2, f2 = partner
+                ga = face_corners(e1, f1)
+                gb = face_corners(e2, f2)
+                qa = np.round(np.delete(base.vertices[ga], ax, axis=1)
+                              / tol).astype(np.int64)
+                qb = np.round(np.delete(base.vertices[gb], ax, axis=1)
+                              / tol).astype(np.int64)
+                look = {tuple(r): g for r, g in zip(qb.tolist(), gb)}
+                gmap = {g: look[tuple(r)] for r, g in zip(qa.tolist(),
+                                                          ga)}
+                gmap_rev = {v: k for k, v in gmap.items()}
+                adj[(e1, f1)] = (e2, f2) + transform(e1, f1, e2, f2,
+                                                     gmap)
+                adj[(e2, f2)] = (e1, f1) + transform(e2, f2, e1, f1,
+                                                     gmap_rev)
         return adj
 
     # ------------------------------------------------------------------
@@ -307,11 +364,19 @@ class Forest:
             for face in range(2 * d):
                 axis, side = divmod(face, 2)
                 at_base_bdry = (leaf[1 + axis] == (n - 1 if side else 0))
-                if at_base_bdry and (b, face) not in self._adjacency:
+                if at_base_bdry:
                     bid = base_bface.get((b, face))
+                    if (b, face) not in self._adjacency:
+                        if bid is not None:
+                            bfaces.append((i, face, bid))
+                        continue
                     if bid is not None:
+                        # PERIODIC seam: the face has (periodic)
+                        # adjacency but must stay in boundary_faces so
+                        # FESpace node fusion can find the paired ids;
+                        # fall through to neighbor processing for 2:1 /
+                        # hanging bookkeeping across the seam
                         bfaces.append((i, face, bid))
-                    continue
                 nb = self._neighbor(b, leaf, face)
                 if nb is None:
                     continue

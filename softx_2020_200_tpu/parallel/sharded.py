@@ -722,11 +722,17 @@ class ShardedGLSSolver:
     def run_transient(self, u0_stack, dt: float, n_steps: int,
                       order: int = 2, t0: float = 0.0,
                       history_stacks=None, on_step=None,
-                      verbose: bool = False):
+                      verbose: bool = False,
+                      startup_scaling: float = 0.0):
         """Fixed-dt BDF time loop on device-resident stacked state.
 
-        The BDF order ramps 1 -> ``order`` as history accumulates unless
-        ``history_stacks`` (list of [P, N_loc, c], newest first) seeds it.
+        With ``startup_scaling`` in (0, 1) the first ``order - 1`` steps
+        are SUB-STEPPED at lower order (the reference's
+        ``first_iteration()`` startup, same as the single-device engine):
+        sizes (s*dt, (1-s)*dt) with variable-step BDF weights, so the
+        target order starts with genuine history.  Otherwise the order
+        ramps 1 -> ``order`` unless ``history_stacks`` (list of
+        [P, N_loc, c], newest first) seeds it.
         ``on_step(k, t, u_stack, iters, lin)`` is the host hook.
         Returns the final stacked solution.
         """
@@ -736,21 +742,49 @@ class ShardedGLSSolver:
             prevs = jnp.stack([history_stacks[0], history_stacks[1],
                                history_stacks[2]])
             have = order
+            dt_hist = [dt] * 3
         else:
             prevs = jnp.stack([u0_stack, u0_stack, u0_stack])
             have = 0
-        for k in range(n_steps):
-            t = t0 + (k + 1) * dt
-            eff = min(order, have + 1)
-            a = np.asarray(bdf_coefficients(eff, [dt] * max(1, eff)))
+            dt_hist = []
+        startup_left = (order - 1
+                        if (history_stacks is None
+                            and 0.0 < startup_scaling < 1.0
+                            and order >= 2) else 0)
+
+        def substep(u, prevs, t, dts, eff):
+            eff = max(1, min(eff, 3))
+            a = np.asarray(bdf_coefficients(eff, dts[:eff]))
             alphas = np.zeros(4)
             alphas[:eff + 1] = a
-            u, prevs, hist, iters, lin = self._tstep(
+            return self._tstep(
                 u, prevs, self._mask_stack, self._zero_vals,
                 jnp.asarray(t, self.dtype),
                 jnp.asarray(alphas, self.dtype),
-                jnp.asarray(1.0 / dt, self.dtype))
-            have += 1
+                jnp.asarray(1.0 / dts[0], self.dtype))
+
+        for k in range(n_steps):
+            t = t0 + (k + 1) * dt
+            if startup_left > 0:
+                kk = order - startup_left
+                dt_a = startup_scaling * dt
+                dt_b = dt - dt_a
+                u, prevs, hist, iters, lin = substep(
+                    u, prevs, t - dt_b, [dt_a] + dt_hist,
+                    min(kk, 1 + len(dt_hist)))
+                have += 1
+                u, prevs, hist, iters, lin = substep(
+                    u, prevs, t, [dt_b, dt_a] + dt_hist,
+                    min(kk + 1, 2 + len(dt_hist)))
+                have += 1
+                dt_hist = ([dt_b, dt_a] + dt_hist)[:3]
+                startup_left -= 1
+            else:
+                eff = min(order, have + 1)
+                u, prevs, hist, iters, lin = substep(
+                    u, prevs, t, [dt] + dt_hist, eff)
+                have += 1
+                dt_hist = ([dt] + dt_hist)[:3]
             if verbose:
                 h = np.asarray(hist)[0]
                 it = int(np.asarray(iters)[0])

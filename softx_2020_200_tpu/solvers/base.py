@@ -93,6 +93,14 @@ class GLSNavierStokesSolver:
                                        m.arg.replace(",", " ").split()]
                                       or [0.0] * self.dim)
                     base.boundary_manifolds[m.id] = Manifold(m.type, center)
+                # periodic pairs must reach the BASE mesh before the
+                # forest builds its (periodic) adjacency
+                for bc in prm.boundary_conditions.bcs:
+                    if bc.type == BoundaryType.periodic:
+                        pair = (bc.id, bc.periodic_id,
+                                bc.periodic_direction)
+                        if pair not in base.periodic:
+                            base.periodic.append(pair)
                 self.forest = Forest(base)
                 for _ in range(prm.mesh.initial_refinement):
                     self.forest.refine(self.forest.all_leaves())

@@ -1,0 +1,142 @@
+"""Periodic + AMR: forest adjacency across periodic seams (p4est's
+periodic connectivity — closes the round-1 'periodic + AMR' gap).
+
+The forest treats a declared periodic pair like any rotated base-cell
+adjacency: 2:1 balance, hanging constraints, and the Kelly estimator
+all see through the seam, while FESpace node fusion keeps the DoFs
+topologically periodic.
+"""
+
+import numpy as np
+import pytest
+
+from softx_2020_200_tpu.core.parameters import SimulationParameters
+from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
+
+PERIODIC_KELLY_DECK = """
+subsection simulation control
+  set method = steady
+  set output frequency = 0
+end
+subsection physical properties
+  set kinematic viscosity = 0.1
+end
+subsection FEM
+  set velocity order = 2
+  set pressure order = 2
+end
+subsection mesh
+  set type = dealii
+  set grid type = hyper_cube
+  set grid arguments = 0 : 1 : true
+  set initial refinement = 2
+end
+subsection mesh adaptation
+  set type = kelly
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = periodic
+    set periodic_id = 1
+    set periodic_direction = 0
+  end
+  subsection bc 1
+    set id = 1
+    set type = periodic
+    set periodic_id = 0
+    set periodic_direction = 0
+  end
+  subsection bc 2
+    set id = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id = 3
+    set type = noslip
+  end
+end
+subsection source term
+  set enable = true
+  subsection xyz
+    set Function expression = 1; 0; 0
+  end
+end
+subsection analytical solution
+  set enable = true
+  subsection uvwp
+    set Function expression = 5*y*(1-y); 0; 0
+  end
+end
+subsection non-linear solver
+  set verbosity = quiet
+  set tolerance = 1e-10
+  set max iterations = 10
+end
+subsection linear solver
+  set verbosity = quiet
+  set relative residual = 1e-6
+  set minimum residual = 1e-13
+end
+subsection test
+  set enable = true
+end
+"""
+
+
+def _make_solver():
+    prm = SimulationParameters.from_text(PERIODIC_KELLY_DECK, dim=2)
+    return GLSNavierStokesSolver(prm)
+
+
+def test_forest_adjacency_crosses_periodic_seam():
+    s = _make_solver()
+    f = s.forest
+    assert f.base.periodic, "base mesh should carry the periodic pair"
+    # the single base cell's x- face (0) must connect to its own x+ (1)
+    assert (0, 0) in f._adjacency and (0, 1) in f._adjacency
+    b2, f2, perm, flip = f._adjacency[(0, 0)]
+    assert (b2, f2) == (0, 1) and perm == (0, 1) and flip == (False,
+                                                              False)
+    # leaf neighbor lookup wraps around
+    leaf = (2, 0, 1)          # level-2 leaf at the x- edge
+    nb = f._neighbor(0, leaf, 0)
+    assert nb is not None
+    b2, nleaf, face2, _, _ = nb
+    assert nleaf == (2, 3, 1), nleaf
+
+
+def test_periodic_seam_hanging_constraints_and_solve():
+    """Refine only the seam-adjacent column on the x- side: the 2:1
+    balance and hanging faces now straddle the seam, and the adapted
+    solve still reproduces the exact periodic Poiseuille profile."""
+    s = _make_solver()
+    f = s.forest
+    marked = [(0, leaf) for leaf in sorted(f.leaves[0])
+              if leaf[1] == 0]              # the x- column
+    f.refine(marked)
+    f.balance()
+    mesh, elem_of, ncf = f.build_mesh()
+    s._elem_of = elem_of
+    s.setup(mesh=mesh, nc_faces=ncf)
+    # hanging faces exist, and at least one pairs a seam-straddling
+    # coarse|fine combination (fine cells at x- against coarse at x+
+    # or balanced neighbors)
+    assert ncf, "expected non-conforming faces after one-sided refine"
+    # the periodic fusion removed the duplicate seam nodes
+    xs = s.space.nodes[:, 0]
+    assert (xs > 1.0 - 1e-12).sum() == 0, "x=1 nodes should be fused"
+    u, res = s.solve_steady(verbose=False)
+    ev, ep = s.l2_errors(u)
+    assert ev < 1e-9, f"periodic+AMR Poiseuille error {ev}"
+
+
+def test_periodic_kelly_cycle_runs():
+    """A full Kelly cycle through the engine on the periodic deck."""
+    prm = SimulationParameters.from_text(PERIODIC_KELLY_DECK, dim=2)
+    prm.simulation_control.number_mesh_adaptation = 1
+    s = GLSNavierStokesSolver(prm)
+    u = s.solve()
+    ev, ep = s.l2_errors(u)
+    assert ev < 1e-9, f"periodic kelly-cycle error {ev}"
