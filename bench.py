@@ -59,38 +59,62 @@ def build_matvec(refine, backend):
         f = lambda w: op.residual_free(w, prev, fq, 0.0, 0.0, C=consts)
         return jax.jvp(f, (u,), (v,))[1]
 
-    return matvec, (u, v, prev, fq, consts), space
+    def apply_chain(u, v, prev, fq, consts, n):
+        """Linearize ONCE, apply the tangent n times (chained) — the
+        production Newton/GMRES inner-loop structure (newton.py uses
+        jax.linearize per Newton iteration)."""
+        from jax import lax
+        f = lambda w: op.residual_free(w, prev, fq, 0.0, 0.0, C=consts)
+        _, mv = jax.linearize(f, u)
+        return lax.fori_loop(0, n, lambda i, w: mv(w), v)
+
+    return matvec, apply_chain, (u, v, prev, fq, consts), space
 
 
 def time_matvec(refine, backend, n_apps=50):
+    """Marginal per-application cost of the linearized matvec via a
+    two-point measurement (subtracts the one-off linearization)."""
     import jax
     import jax.numpy as jnp
-    matvec, args, space = build_matvec(refine, backend)
+    matvec, apply_chain, args, space = build_matvec(refine, backend)
     u, v, prev, fq, consts = args
-    step = jax.jit(matvec)
-    w = step(u, v, prev, fq, consts)
-    _ = float(jnp.sum(jnp.abs(w)))   # value fetch: forces completion
-    t0 = time.perf_counter()
-    w = v
-    for _ in range(n_apps):
-        w = step(u, w, prev, fq, consts)
-    _ = float(jnp.sum(jnp.abs(w)))
-    dt = (time.perf_counter() - t0) / n_apps
+    step = jax.jit(apply_chain, static_argnums=5)
+    n_lo = max(2, n_apps // 10)
+    for n in (n_lo, n_apps):             # compile both variants
+        _ = float(jnp.sum(jnp.abs(step(u, v, prev, fq, consts, n))))
+
+    def run(n):
+        t0 = time.perf_counter()
+        w = step(u, v, prev, fq, consts, n)
+        _ = float(jnp.sum(jnp.abs(w)))
+        return time.perf_counter() - t0
+
+    t_lo = min(run(n_lo) for _ in range(3))
+    t_hi = min(run(n_apps) for _ in range(3))
+    dt = (t_hi - t_lo) / (n_apps - n_lo)
     n_dofs = space.n_nodes * 4
     return n_dofs, space.n_elements, dt
 
 
 def flops_per_element(refine_small=3):
-    """XLA cost-model FLOPs of one matvec, per element (non-pallas path
-    — the pallas kernel computes the same stabilized weak form)."""
+    """XLA cost-model FLOPs of one MARGINAL tangent application, per
+    element (non-pallas path — the pallas kernel computes the same
+    stabilized weak form): two-point difference of the linearize+apply
+    chain so the one-off linearization flops cancel."""
     import jax
     try:
-        matvec, args, space = build_matvec(refine_small, "cpu")
-        lowered = jax.jit(matvec).lower(*args)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        fl = float(cost["flops"])
+        matvec, apply_chain, args, space = build_matvec(refine_small,
+                                                        "cpu")
+
+        def cost_of(n):
+            lowered = jax.jit(apply_chain,
+                              static_argnums=5).lower(*args, n)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost["flops"])
+
+        fl = (cost_of(3) - cost_of(1)) / 2.0
         if fl > 0:
             return fl / space.n_elements
     except Exception:

@@ -341,6 +341,37 @@ class ShardedGLSSolver:
         C["mg_inj_slots"] = jnp.asarray(inj_slots)
         self._mg_nc1 = Nc
 
+        # RESTRICTION as per-coarse-node child GATHERS: invert the
+        # (fine -> masters) map so rc[k] = sum_j w_j[k] res[child_j[k]].
+        # The forward form needs nn_c serialized scatter-adds over the
+        # coarse vector (RMW chains, ~29 ms/V-cycle at 1.1M DoF); the
+        # gather form is embarrassingly parallel.  Each fine node
+        # contributes from its OWNER shard (res is owned-masked) and the
+        # psum merges coarse rows.
+        children: list[list] = [[] for _ in range(Nc)]
+        for f in range(masters.shape[0]):
+            for m in range(masters.shape[1]):
+                w = float(weights[f, m])
+                if w != 0.0:
+                    children[int(masters[f, m])].append((f, w))
+        Kc = max(1, max(len(ch) for ch in children))
+        cs = np.full((self.n_shards, Kc, Nc), trash, np.int32)
+        cw = np.zeros((self.n_shards, Kc, Nc), np.float64)
+        g2l = np.full((self.n_shards, self.space.n_nodes), -1,
+                      np.int64)
+        for p in range(self.n_shards):
+            v = valid[p]
+            g2l[p, L.l2g[p, v]] = np.nonzero(v)[0]
+        for p in range(self.n_shards):
+            for k, ch in enumerate(children):
+                for j, (f, w) in enumerate(ch):
+                    sl = g2l[p, f]
+                    if sl >= 0:
+                        cs[p, j, k] = sl
+                        cw[p, j, k] = w
+        C["mg_child_slots"] = jnp.asarray(cs)
+        C["mg_child_w"] = jnp.asarray(cw, self.dtype)
+
     # ------------------------------------------------------------------
     def _spec_full(self):
         spec = dict(self._spec_C)
@@ -466,8 +497,22 @@ class ShardedGLSSolver:
                 u = refresh(u)
                 ue = gather_soa(u, nc)
                 upe = gather_soa(refresh(uprev), d)
-                blocks_el = node_blocks_batched_bm(
-                    batched, ue, xe_soa, upe, fq_soa, alpha0, sdt)
+                if pg is not None and not pg.interpret:
+                    # fused tangent-kernel probes (one pallas launch per
+                    # (node, comp) probe) — the chunked XLA-jvp loop was
+                    # the dominant cost of the sharded Newton step;
+                    # interpret mode keeps the XLA probes (32 interpreted
+                    # launches would crawl on the CPU test mesh)
+                    br = pg.node_block_rows(
+                        rows_from_soa(ue), rows_from_soa(upe),
+                        rows_from_soa(fq_soa), alpha0, sdt,
+                        xe2=C["pg_xe"], h2=C["pg_h"])
+                    cc = nc * nc
+                    blocks_el = jnp.transpose(
+                        br.reshape(nn, cc, pg.Ep)[:, :, :E], (1, 0, 2))
+                else:
+                    blocks_el = node_blocks_batched_bm(
+                        batched, ue, xe_soa, upe, fq_soa, alpha0, sdt)
                 # [cc, nn, E] * validity and Dirichlet keep masks
                 blocks_el = blocks_el * elem_valid
                 mk = 1.0 - bc_mask.astype(dtype)                # [N, c]
@@ -504,9 +549,12 @@ class ShardedGLSSolver:
             weights = C["mg_weights"]         # [nn_c, N_loc]
             inj_rows = C["mg_inj_rows"]
             inj_slots = C["mg_inj_slots"]
+            child_slots = C["mg_child_slots"]   # [Kc, Nc1]
+            child_w = C["mg_child_w"]           # [Kc, Nc1]
             mask1 = mg_rep[0]["bh_mask"]
             op1 = mg_ops[0]
             nm = masters.shape[0]
+            Kc = child_slots.shape[0]
 
             def to_coarse_state(a):
                 """Replicated [Nc1, c] from shard-local rows via psum
@@ -522,11 +570,15 @@ class ShardedGLSSolver:
                 def smooth(r):
                     return apply_bm(binv, r) * owned[:, None]
 
+                # linearize ONCE per builder: the V-cycle applies this
+                # matvec twice per FGMRES iteration, and jvp would re-run
+                # the primal kernel each time
+                f = lambda w: residual(w, bc_mask, combo, fq,
+                                       alpha0, sdt)
+                _, f_lin = jax.linearize(f, u)
+
                 def matvec(v):
-                    f = lambda w: residual(w, bc_mask, combo, fq,
-                                           alpha0, sdt)
-                    return jax.jvp(
-                        f, (u,), (jnp.where(bc_mask, 0.0, v),))[1] \
+                    return f_lin(jnp.where(bc_mask, 0.0, v)) \
                         + jnp.where(bc_mask, v, 0.0)
 
                 uc = to_coarse_state(u * owned[:, None])
@@ -542,10 +594,9 @@ class ShardedGLSSolver:
                         z = z + omega * smooth(r - matvec(z))
                     res = r - matvec(z)
                     res = res * owned[:, None]
-                    rc = jnp.zeros((mg_nc1, r.shape[-1]), r.dtype)
-                    for m in range(nm):
-                        rc = rc.at[masters[m]].add(
-                            weights[m][:, None] * res)
+                    # restriction by child gathers (no RMW chain)
+                    rc = sum(child_w[j][:, None] * res[child_slots[j]]
+                             for j in range(Kc))
                     rc = reduce_fn(rc)
                     rc = jnp.where(mask1, 0.0, rc)
                     zc = coarse_apply(rc)

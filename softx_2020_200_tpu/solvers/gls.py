@@ -334,7 +334,45 @@ class GLSOperator:
                 rows = [flat[i] for i in range(r2.shape[0])]
                 return sl.scatter_rows_list(rows, nc)
 
+            def node_blocks(u, bc_mask, uprev_combo, fq, alpha0, sdt,
+                            C=None):
+                """Pallas-probe node blocks on the structured path
+                (tangent-kernel probes + window scatter)."""
+                if pg.interpret:
+                    # 32 interpreted probe launches would crawl on CPU
+                    return GLSOperator.node_blocks(
+                        self, u, bc_mask, uprev_combo, fq, alpha0, sdt,
+                        C=C)
+                C = C if C is not None else self.consts()
+                ue2 = rows_from_list(sl.gather_rows_list(u))
+                up2 = rows_from_list(sl.gather_rows_list(uprev_combo))
+                perm = C.get("sl_perm")
+                if perm is None:
+                    perm = self._sl_perm
+                fqg = fq[perm]
+                fq2 = rows_from_list(
+                    [fqg[:, q, i] for q in range(self.n_q)
+                     for i in range(self.dim)])
+                br = pg.node_block_rows(ue2, up2, fq2, alpha0, sdt,
+                                        xe2=C.get("pg_xe"),
+                                        h2=C.get("pg_h"))
+                # Dirichlet keep masks per element-node in row space
+                keep_rows = sl.gather_rows_list(
+                    1.0 - bc_mask.astype(self.dtype))   # nn*c of [E]
+                cc = nc * nc
+                flat = br.reshape(nn, cc, pg.Ep)[:, :, :E]
+                rows = []
+                for n in range(nn):
+                    for i in range(nc):
+                        ki = keep_rows[n * nc + i]
+                        for j in range(nc):
+                            rows.append(flat[n, i * nc + j] * ki
+                                        * keep_rows[n * nc + j])
+                blocks = sl.scatter_rows_list(rows, cc)
+                return blocks.reshape(self.n_nodes, nc, nc)
+
             self.residual_free = residual_free
+            self.node_blocks = node_blocks
             return self
 
         pg = PallasGLS(self.space, self.nu, n_q1d=n_q1d,
@@ -355,7 +393,32 @@ class GLSOperator:
             r_el = pg.from_rows(r2).reshape(E, nn, nc)
             return self._assemble(r_el, C)
 
+        def node_blocks(u, bc_mask, uprev_combo, fq, alpha0, sdt,
+                        C=None):
+            """Pallas-probe node blocks (gather-assembly path)."""
+            if pg.interpret:
+                return GLSOperator.node_blocks(
+                    self, u, bc_mask, uprev_combo, fq, alpha0, sdt, C=C)
+            C = C if C is not None else self.consts()
+            en = C["elem_nodes"]
+            ue2 = pg.to_rows(u[en])
+            up2 = pg.to_rows(uprev_combo[en])
+            fq2 = pg.to_rows(fq)
+            br = pg.node_block_rows(ue2, up2, fq2, alpha0, sdt,
+                                    xe2=C.get("pg_xe"),
+                                    h2=C.get("pg_h"))
+            cc = nc * nc
+            blocks_el = jnp.transpose(
+                br.reshape(nn, cc, pg.Ep)[:, :, :E], (2, 0, 1))
+            me = gather_elements(bc_mask.astype(self.dtype), en)
+            keep = 1.0 - me
+            keep2 = jnp.repeat(keep, nc, axis=-1) \
+                * jnp.tile(keep, (1, 1, nc))
+            blocks = self._assemble(blocks_el * keep2, C)
+            return blocks.reshape(self.n_nodes, nc, nc)
+
         self.residual_free = residual_free
+        self.node_blocks = node_blocks
         return self
 
     # ------------------------------------------------------------------

@@ -90,9 +90,12 @@ def newton_solve(residual_fn: Callable, u0, *,
     def body(state):
         u, R, rnorm, it, lin_total, hist, alphas, pstate = state
 
-        # matrix-free Jacobian-vector product at the current iterate
-        def matvec(v_flat):
-            return jax.jvp(flat_residual, (u.reshape(-1),), (v_flat,))[1]
+        # matrix-free Jacobian-vector products at the current iterate:
+        # LINEARIZE once per Newton iteration so the per-matvec work is
+        # the tangent kernel alone — jvp per Krylov vector would re-run
+        # the primal residual (kernel + gathers) every application,
+        # nearly doubling matvec cost
+        _, matvec = jax.linearize(flat_residual, u.reshape(-1))
 
         if stateful:
             if skip > 1:
