@@ -274,17 +274,39 @@ class GDNavierStokesSolver:
         self._force_tables: dict[int, object] = {}
         self._torque_tables: dict[int, object] = {}
         self.tables: dict[str, list] = {"ke": [], "enstrophy": []}
+        self.forest = None
+        self._elem_of = None
+        self._nc_faces = []
         if mesh is None:
-            if prm.mesh.type == "gmsh":
-                from ..fem.gmsh_io import read_msh
-                mesh = read_msh(prm.mesh.file_name, self.dim)
-                if prm.mesh.initial_refinement:
-                    mesh = mesh.refine_uniform(prm.mesh.initial_refinement)
-            else:
-                mesh = generate_mesh(
+            adaptive = prm.mesh_adaptation.type == "kelly"
+
+            def _read_base(initial_refinement):
+                if prm.mesh.type == "gmsh":
+                    from ..fem.gmsh_io import read_msh
+                    m = read_msh(prm.mesh.file_name, self.dim)
+                    return m.refine_uniform(initial_refinement) \
+                        if initial_refinement else m
+                return generate_mesh(
                     prm.mesh.grid_type, prm.mesh.grid_arguments,
-                    dim=self.dim,
-                    initial_refinement=prm.mesh.initial_refinement)
+                    dim=self.dim, initial_refinement=initial_refinement)
+
+            if adaptive:
+                # the forest owns refinement (mirrors the GLS engine)
+                from ..fem.forest import Forest
+                base = _read_base(0)
+                for bc in prm.boundary_conditions.bcs:
+                    if bc.type == BoundaryType.periodic:
+                        pair = (bc.id, bc.periodic_id,
+                                bc.periodic_direction)
+                        if pair not in base.periodic:
+                            base.periodic.append(pair)
+                self.forest = Forest(base)
+                for _ in range(prm.mesh.initial_refinement):
+                    self.forest.refine(self.forest.all_leaves())
+                mesh, self._elem_of, self._nc_faces = \
+                    self.forest.build_mesh()
+            else:
+                mesh = _read_base(prm.mesh.initial_refinement)
         # periodic declarations reach the mesh BEFORE the two FE spaces
         # are numbered (mirrors the GLS engine's setup() wiring)
         for bc in prm.boundary_conditions.bcs:
@@ -293,12 +315,6 @@ class GDNavierStokesSolver:
                 if pair not in mesh.periodic:
                     mesh.periodic.append(pair)
         self._mesh = mesh
-        self.op = GDOperator(
-            mesh, degree_pressure=prm.fem.pressure_order,
-            nu=prm.physical_properties.kinematic_viscosity,
-            gamma=prm.stabilization.gamma)
-        from .boundary import BoundaryHandler
-        self.bh = BoundaryHandler(self.op.space_v, prm.boundary_conditions)
         self.exact = (VectorExpression(prm.analytical_solution.uvwp)
                       if prm.analytical_solution.enable else None)
         self.source = (VectorExpression(prm.source_term.xyz)
@@ -319,14 +335,61 @@ class GDNavierStokesSolver:
             max_krylov_cycles=max(1, ls.max_iters // ls.max_krylov_vectors),
             relative_residual=ls.relative_residual,
             minimum_residual=ls.minimum_residual)
+        self.setup()
+
+    # ------------------------------------------------------------------
+    def setup(self, mesh=None, nc_faces=None) -> None:
+        """(Re)build spaces/operator/BCs/constraints on the current or a
+        freshly adapted mesh (mirrors the GLS engine's setup())."""
+        from .boundary import BoundaryHandler
+        from ..fem.constraints import build_hanging_constraints
+        prm = self.prm
+        if mesh is not None:
+            self._mesh = mesh
+        if nc_faces is not None:
+            self._nc_faces = nc_faces
+        self.op = GDOperator(
+            self._mesh, degree_pressure=prm.fem.pressure_order,
+            nu=prm.physical_properties.kinematic_viscosity,
+            gamma=prm.stabilization.gamma)
+        self.bh = BoundaryHandler(self.op.space_v,
+                                  prm.boundary_conditions)
+        # hanging constraints on BOTH spaces (adapted meshes)
+        self.hc_v = build_hanging_constraints(self.op.space_v,
+                                              self._nc_faces)
+        self.hc_p = build_hanging_constraints(self.op.space_p,
+                                              self._nc_faces)
 
         d = self.dim
         op = self.op
-        # flat Dirichlet mask/values over [Nv*d + Np]
-        mask_v = np.asarray(self.bh.mask)[:, :d]
+        # flat Dirichlet mask over [Nv*d + Np]; hanging rows act like
+        # extra Dirichlet rows for masking/preconditioning
+        mask_v = np.asarray(self.bh.mask)[:, :d].copy()
+        mask_p = np.zeros(op.Np, bool)
+        if self.hc_v.n:
+            mask_v[np.asarray(self.hc_v.ids)] = True
+        if self.hc_p.n:
+            mask_p[np.asarray(self.hc_p.ids)] = True
         self._mask = jnp.asarray(np.concatenate(
-            [mask_v.reshape(-1), np.zeros(op.Np, bool)]))
+            [mask_v.reshape(-1), mask_p]))
         self._solve_jit = jax.jit(self._solve_impl)
+
+    # ------------------------------------------------------------------
+    def _hc_distribute(self, x):
+        if self.hc_v.n == 0 and self.hc_p.n == 0:
+            return x
+        v, p = self.op.split(x)
+        v = self.hc_v.distribute(v)
+        p = self.hc_p.distribute(p[:, None])[:, 0]
+        return self.op.join(v, p)
+
+    def _hc_transpose(self, R):
+        if self.hc_v.n == 0 and self.hc_p.n == 0:
+            return R
+        v, p = self.op.split(R)
+        v = self.hc_v.distribute_transpose(v)
+        p = self.hc_p.distribute_transpose(p[:, None])[:, 0]
+        return self.op.join(v, p)
 
     # ------------------------------------------------------------------
     def _bc_values_flat(self, t):
@@ -348,10 +411,13 @@ class GDNavierStokesSolver:
         op = self.op
         mask = self._mask
         x0 = jnp.where(mask, self._bc_values_flat(t), x0)
+        x0 = self._hc_distribute(x0)
         fq = self._source_q(t)
 
         def residual(x):
+            x = self._hc_distribute(x)
             R = op.residual_free(x, vprev_combo, fq, alpha0, sdt)
+            R = self._hc_transpose(R)
             return jnp.where(mask, 0.0, R)
 
         d = self.dim
@@ -380,9 +446,12 @@ class GDNavierStokesSolver:
 
             return apply
 
-        return newton_solve(residual, x0,
-                            precond_builder=precond_builder,
-                            config=self.newton_cfg)
+        res = newton_solve(residual, x0,
+                           precond_builder=precond_builder,
+                           config=self.newton_cfg)
+        if self.hc_v.n or self.hc_p.n:
+            res = res._replace(u=self._hc_distribute(res.u))
+        return res
 
     # ------------------------------------------------------------------
     def initial_condition(self):
@@ -445,19 +514,98 @@ class GDNavierStokesSolver:
     # NavierStokesBase time loop — SURVEY §2.2/§3.2)
     # ------------------------------------------------------------------
     def solve(self, on_step=None):
+        prm = self.prm
         if self.control.is_steady():
-            x, res = self.solve_steady()
-            if self.exact is not None:
-                ev, ep = self.l2_errors(x)
-                prec = self.prm.simulation_control.log_precision
-                print(f"L2 error velocity : {ev:.{prec}e}  "
-                      f"L2 error pressure: {ep:.{prec}e}")
-            self.postprocess(x, 0.0)
-            if self.prm.simulation_control.output_frequency > 0:
+            n_cycles = prm.simulation_control.number_mesh_adaptation + 1
+            x = None
+            for cycle in range(n_cycles):
+                x0 = None
+                if cycle > 0:
+                    if prm.mesh_adaptation.type == "kelly":
+                        x0 = self.refine_mesh_kelly([x])[0]
+                    else:
+                        self.setup(self._mesh.refine_uniform(1))
+                x, res = self.solve_steady(x0=x0)
+                if self.exact is not None:
+                    ev, ep = self.l2_errors(x)
+                    prec = prm.simulation_control.log_precision
+                    print(f"L2 error velocity : {ev:.{prec}e}  "
+                          f"L2 error pressure: {ep:.{prec}e}")
+                self.postprocess(x, 0.0)
+            if prm.simulation_control.output_frequency > 0:
                 self.write_output(x, 0.0)
             self.write_tables()
             return x
         return self.run_transient(on_step=on_step)
+
+    # ------------------------------------------------------------------
+    # adaptive mesh refinement (reference: shared refine_mesh_kelly)
+    # ------------------------------------------------------------------
+    def refine_mesh_kelly(self, fields: list):
+        """Kelly (velocity) estimate -> flag -> forest ops -> rebuild
+        both spaces -> transfer every flat mixed field."""
+        from .kelly import kelly_estimate, flag_cells
+        from ..fem.forest import Forest
+        from ..fem.transfer import transfer_solution
+        if self.forest is None:
+            raise ValueError("kelly adaptation requires the forest path "
+                             "(set mesh adaptation type = kelly)")
+        ma = self.prm.mesh_adaptation
+        op = self.op
+
+        from types import SimpleNamespace
+        view = SimpleNamespace(     # equal-order surface for the kelly
+            space=op.space_v, dim=self.dim, xe=op.xe,
+            elem_nodes=op.space_v.elem_nodes, dtype=op.dtype)
+        v0, _ = op.split(fields[0])
+        eta = kelly_estimate(view, v0, variable="velocity",
+                             nc_faces=self._nc_faces)
+        refine_mask, coarsen_mask = flag_cells(
+            eta, fraction_type=ma.fraction_type,
+            refine_fraction=ma.fraction_refinement,
+            coarsen_fraction=ma.fraction_coarsening)
+
+        order = self.forest.all_leaves()
+        E = len(order)
+        d = self.dim
+        ref_idx = [e for e in np.where(refine_mask)[0]
+                   if order[e][1][0] < ma.max_refinement_level]
+        budget = (ma.max_number_elements - E) // (2 ** d - 1)
+        if budget < len(ref_idx):
+            ref_idx = sorted(ref_idx,
+                             key=lambda e: -eta[e])[:max(0, budget)]
+        marked_ref = [order[e] for e in ref_idx]
+        marked_coa = [order[e] for e in np.where(coarsen_mask)[0]
+                      if order[e][1][0] > ma.min_refinement_level]
+
+        old_sv, old_sp = op.space_v, op.space_p
+        old_elem_of = self._elem_of
+        snap = Forest.__new__(Forest)
+        snap.base = self.forest.base
+        snap.dim = self.forest.dim
+        snap.leaves = [set(s) for s in self.forest.leaves]
+        snap._adjacency = self.forest._adjacency
+
+        self.forest.coarsen(marked_coa)
+        self.forest.refine(marked_ref)
+        self.forest.balance()
+        mesh, elem_of, ncf = self.forest.build_mesh()
+        self._elem_of = elem_of
+        self.setup(mesh=mesh, nc_faces=ncf)
+        out = []
+        nsv, nsp = self.op.space_v, self.op.space_p
+        for f in fields:
+            v, p = op.split(jnp.asarray(f))
+            (vn,) = transfer_solution(old_sv, snap, old_elem_of,
+                                      nsv, self.forest, elem_of, [v])
+            (pn,) = transfer_solution(old_sp, snap, old_elem_of,
+                                      nsp, self.forest, elem_of,
+                                      [p[:, None]])
+            out.append(self.op.join(vn, pn[:, 0]))
+        if not self.prm.test.enable:
+            print(f"Mesh adaptation: {E} -> {self.op.space_v.mesh.n_cells}"
+                  f" cells, {self.op.n_dofs} dofs")
+        return out
 
     def run_transient(self, x0=None, on_step=None):
         prm = self.prm
@@ -521,6 +669,13 @@ class GDNavierStokesSolver:
             if prm.restart.checkpoint and \
                     ctrl.iteration % prm.restart.frequency == 0:
                 self.write_checkpoint(x, previous)
+            if (prm.mesh_adaptation.type == "kelly"
+                    and prm.mesh_adaptation.frequency > 0
+                    and ctrl.iteration % prm.mesh_adaptation.frequency
+                    == 0 and not ctrl.is_at_end()):
+                # transfer solution AND BDF history across adaptation
+                fields = self.refine_mesh_kelly([x] + previous)
+                x, previous = fields[0], list(fields[1:])
             if on_step is not None:
                 on_step(self, x, t)
         self.write_tables()

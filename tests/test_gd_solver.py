@@ -405,3 +405,80 @@ end
     x1, res = s.solve_transient_step(x0, [x0, x0, x0], dt, [dt], 1)
     ev, ep = s.l2_errors(x1, t=dt)
     assert ev < 5e-3, f"GD BDF1 step error {ev}"
+
+
+def test_gd_kelly_steady_cycles():
+    """GD steady Kelly cycles: forest path, hanging constraints on both
+    spaces, exact Poiseuille stays exact across adaptation (Q2-Q1
+    contains it, so hanging-row wiring errors would show immediately)."""
+    nu = 0.05
+    extra = """
+subsection mesh adaptation
+  set type = kelly
+  set fraction type = number
+  set fraction refinement = 0.25
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = 4*y*(1-y)
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = function
+    subsection u
+      set Function expression = 4*y*(1-y)
+    end
+  end
+  subsection bc 2
+    set id = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id = 3
+    set type = noslip
+  end
+end
+subsection analytical solution
+  set enable = true
+  subsection uvwp
+    set Function expression = 4*y*(1-y); 0; -8*%s*x
+  end
+end
+subsection test
+  set enable = true
+end
+""" % nu
+    prm = SimulationParameters.from_text(
+        BASE.format(nu=nu, refine=2, extra=extra), dim=2)
+    prm.simulation_control.number_mesh_adaptation = 2
+    prm.simulation_control.output_frequency = 0
+    s = GDNavierStokesSolver(prm)
+    assert s.forest is not None
+    x = s.solve()
+    assert s._nc_faces, "kelly cycles should create hanging faces"
+    assert s.hc_v.n > 0 and s.hc_p.n > 0
+    ev, ep = s.l2_errors(x)
+    assert ev < 1e-8, f"GD kelly-adapted Poiseuille error {ev}"
+
+
+def test_gd_kelly_transient_adaptation(tmp_path):
+    """GD transient with mid-run Kelly adaptation: MMS accuracy holds
+    through the solution+history transfer."""
+    prm = SimulationParameters.from_text(
+        GD_TRANSIENT_DECK.format(method="bdf2", dt=0.05, tend=0.2,
+                                 outdir=tmp_path, checkpoint="false",
+                                 restart="false"), dim=2)
+    prm.mesh_adaptation.type = "kelly"
+    prm.mesh_adaptation.frequency = 2
+    prm.mesh_adaptation.fraction_refinement = 0.2
+    prm.forces.calculate_forces = False
+    prm.post_processing.calculate_kinetic_energy = False
+    s = GDNavierStokesSolver(prm)
+    x = s.solve()
+    ev, ep = s.l2_errors(x, t=0.2)
+    assert ev < 5e-4, f"GD transient+AMR MMS error {ev}"
