@@ -144,16 +144,22 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
 
     nodes = np.einsum("nc,ecd->end", w, corner_coords)
 
-    # boundary-attached spherical manifolds: radially project nodes lying on
-    # tagged faces (used for cylinder/sphere surfaces inside channel meshes).
-    # On-face detection is by REFERENCE COORDINATE (0 or 1 along the face
-    # axis), not lattice index — ref_nodes may be a leaf SUB-lattice of the
-    # cell (forest path), where only ref value 0/1 touches the cell face.
+    # boundary-attached spherical manifolds: TRANSFINITE blending of the
+    # curved-face correction into the cell interior (deal.II's
+    # TransfiniteInterpolationManifold behavior).  Projecting ONLY the
+    # on-face nodes leaves interior nodes on the straight chord; on the
+    # forest path (leaf sub-lattices placed directly from the BASE
+    # cell), leaves thinner than the chord sag then INVERT.  Instead:
+    # every node takes the correction of its face FOOTPRINT (multilinear
+    # image with the face-normal reference coordinate pinned to the
+    # face), scaled by (1 - distance from the face in reference
+    # coordinates).  On the face this reduces to the radial projection;
+    # at the opposite face the correction vanishes, so neighboring
+    # cells/base-cells stay crack-free.
     if mesh.boundary_manifolds:
         idmap = None
         if elem_ids is not None:
             idmap = {int(e): i for i, e in enumerate(elem_ids)}
-        eps = 1e-12
         for (e, lf, bid) in mesh.boundary_faces:
             man = mesh.boundary_manifolds.get(int(bid))
             if man is None or man.type != "spherical":
@@ -163,19 +169,24 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
                 continue
             axis, side = divmod(int(lf), 2)
             target = 1.0 if side else 0.0
-            sel = np.nonzero(
-                np.abs(ref_nodes[:, axis] - target) < eps)[0]
-            if sel.size == 0:
-                continue
-            pts = nodes[row, sel]
-            rel = pts - man.center
+            ref_f = ref_nodes.copy()
+            ref_f[:, axis] = target
+            wf = np.ones((nn, nc))
+            for c in range(nc):
+                for dd in range(dim):
+                    bit = (c >> dd) & 1
+                    wf[:, c] *= (ref_f[:, dd] if bit
+                                 else (1.0 - ref_f[:, dd]))
+            foot = wf @ corner_coords[row]               # [nn, d]
+            rel = foot - man.center
             rad = np.linalg.norm(rel, axis=-1, keepdims=True)
-            # project to the manifold radius given by the CELL's corner
-            # vertices on that face (they already sit on the manifold)
             c_sel = [c for c in range(nc) if ((c >> axis) & 1) == side]
             r_target = np.mean(np.linalg.norm(
                 corner_coords[row, c_sel] - man.center, axis=-1))
-            nodes[row, sel] = man.center + rel / rad * r_target
+            delta = man.center + rel / np.maximum(rad, 1e-300) \
+                * r_target - foot
+            blend = 1.0 - np.abs(ref_nodes[:, axis] - target)
+            nodes[row] = nodes[row] + blend[:, None] * delta
     return nodes
 
 

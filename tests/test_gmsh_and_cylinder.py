@@ -342,3 +342,37 @@ end
                                            s.space.boundary_faces[3]))
     assert np.isfinite(f).all()
     assert f[0] > 0, f"drag should be positive, got {f}"
+
+
+def test_cylinder_kelly_adaptation_keeps_cells_valid():
+    """Transient Kelly adaptation on the O-ring cylinder mesh: every
+    adapted mesh keeps strictly positive jacobians.  Regression: leaf
+    sub-lattices placed from the base cell used face-only manifold
+    projection, so leaves thinner than the chord sag INVERTED after the
+    first adaptation (transfinite blending in place_nodes fixes it)."""
+    from softx_2020_200_tpu.core.parameters import SimulationParameters
+    from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
+    prm = SimulationParameters.from_file(
+        "examples/cylinder_re100.prm", dim=2)
+    prm.simulation_control.output_frequency = 0
+    prm.simulation_control.time_end = 0.04
+    prm.simulation_control.dt = 0.01
+    prm.mesh.initial_refinement = 2
+    prm.mesh_adaptation.frequency = 2
+    prm.forces.calculate_forces = False
+    prm.restart.checkpoint = False
+    prm.test.enable = True
+    s = GLSNavierStokesSolver(prm)
+    min_dets = []
+
+    def check(sv, u, t):
+        xe = jnp.asarray(sv.space.element_coords())
+        pts, wts, B, G, H = sv.space.basis.quadrature(2)
+        det, _ = det_and_inv(mapping_jacobian(xe, jnp.asarray(G)))
+        min_dets.append(float(np.asarray(det).min()))
+        assert not np.isnan(np.asarray(u)).any()
+
+    s.run_transient(on_step=check, verbose=False)
+    assert len(min_dets) >= 3
+    assert s.space.n_elements > 432          # adaptation actually ran
+    assert min(min_dets) > 0, f"inverted cells: {min_dets}"
