@@ -528,16 +528,18 @@ class GLSNavierStokesSolver:
                     print(f"L2 error velocity : {ev:.{prec}e}")
             if ctrl.is_output_iteration():
                 self.write_output(u, t)
-            if prm.restart.checkpoint and \
-                    ctrl.iteration % prm.restart.frequency == 0:
-                self.write_checkpoint(u, previous)
             if (prm.mesh_adaptation.type == "kelly"
                     and prm.mesh_adaptation.frequency > 0
-                    and ctrl.iteration % prm.mesh_adaptation.frequency == 0
-                    and not ctrl.is_at_end()):
+                    and ctrl.iteration % prm.mesh_adaptation.frequency == 0):
                 # transfer the solution AND the BDF history (hard part #4)
                 fields = self.refine_mesh_kelly([u] + previous)
                 u, previous = fields[0], list(fields[1:])
+            # checkpoint AFTER adaptation: a restart must resume on the
+            # adapted forest, or the same-iteration adaptation is lost
+            # and the restarted trajectory diverges from the full run
+            if prm.restart.checkpoint and \
+                    ctrl.iteration % prm.restart.frequency == 0:
+                self.write_checkpoint(u, previous)
             if on_step is not None:
                 on_step(self, u, t)
             if prm.timer.type == "iteration":

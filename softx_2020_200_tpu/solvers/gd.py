@@ -666,16 +666,18 @@ class GDNavierStokesSolver:
                     print(f"L2 error velocity : {ev:.{prec}e}")
             if ctrl.is_output_iteration():
                 self.write_output(x, t)
-            if prm.restart.checkpoint and \
-                    ctrl.iteration % prm.restart.frequency == 0:
-                self.write_checkpoint(x, previous)
             if (prm.mesh_adaptation.type == "kelly"
                     and prm.mesh_adaptation.frequency > 0
                     and ctrl.iteration % prm.mesh_adaptation.frequency
-                    == 0 and not ctrl.is_at_end()):
+                    == 0):
                 # transfer solution AND BDF history across adaptation
                 fields = self.refine_mesh_kelly([x] + previous)
                 x, previous = fields[0], list(fields[1:])
+            # checkpoint AFTER adaptation (restart resumes the adapted
+            # forest — same ordering as the GLS engine)
+            if prm.restart.checkpoint and \
+                    ctrl.iteration % prm.restart.frequency == 0:
+                self.write_checkpoint(x, previous)
             if on_step is not None:
                 on_step(self, x, t)
         self.write_tables()
@@ -797,11 +799,22 @@ class GDNavierStokesSolver:
                             prm.restart.filename)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp.npz"
+        extras = {}
+        if self.forest is not None:
+            # forest topology: an ADAPTED GD transient restarts exactly
+            # (triangulation.save equivalent — mirrors the GLS engine)
+            rows = []
+            for b, leafset in enumerate(self.forest.leaves):
+                for leaf in sorted(leafset):
+                    rows.append((b,) + leaf)
+            extras["forest_leaves"] = np.asarray(rows, np.int64)
+            extras["base_vertices"] = self.forest.base.vertices
+            extras["base_cells"] = self.forest.base.cells
         np.savez(tmp, u=np.asarray(x),
                  previous=np.stack([np.asarray(p) for p in previous]),
                  control=json.dumps(self.control.serialize()),
                  pvd=json.dumps(self.pvd.serialize()),
-                 n_dofs=self.op.n_dofs)
+                 n_dofs=self.op.n_dofs, **extras)
         os.replace(tmp, path + ".npz")
 
     def read_checkpoint(self):
@@ -811,6 +824,26 @@ class GDNavierStokesSolver:
         path = os.path.join(prm.simulation_control.output_path,
                             prm.restart.filename) + ".npz"
         data = np.load(path, allow_pickle=False)
+        if "forest_leaves" in data:
+            if self.forest is None:
+                raise ValueError(
+                    "checkpoint holds an adapted forest but the deck "
+                    "does not enable kelly adaptation")
+            base = self.forest.base
+            if (data["base_vertices"].shape != base.vertices.shape
+                    or not np.allclose(data["base_vertices"],
+                                       base.vertices)
+                    or not np.array_equal(data["base_cells"],
+                                          base.cells)):
+                raise ValueError("checkpoint base mesh does not match "
+                                 "the deck's")
+            leaves = [set() for _ in range(base.n_cells)]
+            for row in data["forest_leaves"]:
+                leaves[int(row[0])].add(tuple(int(v) for v in row[1:]))
+            self.forest.leaves = leaves
+            mesh, elem_of, ncf = self.forest.build_mesh()
+            self._elem_of = elem_of
+            self.setup(mesh=mesh, nc_faces=ncf)
         if int(data["n_dofs"]) != self.op.n_dofs:
             raise ValueError("checkpoint does not match current mesh")
         self.control.deserialize(json.loads(str(data["control"])))

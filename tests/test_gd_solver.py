@@ -482,3 +482,27 @@ def test_gd_kelly_transient_adaptation(tmp_path):
     x = s.solve()
     ev, ep = s.l2_errors(x, t=0.2)
     assert ev < 5e-4, f"GD transient+AMR MMS error {ev}"
+
+
+def test_gd_kelly_checkpoint_restart(tmp_path):
+    """GD AMR + restart: a Kelly-adapted transient checkpoints its
+    forest and restarts bitwise-close to the uninterrupted run."""
+    def make(tend, checkpoint, restart):
+        prm = SimulationParameters.from_text(
+            GD_TRANSIENT_DECK.format(method="bdf2", dt=0.05, tend=tend,
+                                     outdir=tmp_path,
+                                     checkpoint=checkpoint,
+                                     restart=restart), dim=2)
+        prm.mesh_adaptation.type = "kelly"
+        prm.mesh_adaptation.frequency = 2
+        prm.mesh_adaptation.fraction_refinement = 0.2
+        prm.forces.calculate_forces = False
+        prm.post_processing.calculate_kinetic_energy = False
+        return GDNavierStokesSolver(prm)
+
+    x_full = make(0.2, "false", "false").solve()
+    make(0.1, "true", "false").solve()
+    s2 = make(0.2, "true", "true")
+    x2 = s2.solve()
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_full),
+                               atol=1e-8)
