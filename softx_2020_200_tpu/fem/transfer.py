@@ -23,23 +23,25 @@ def _new_node_base_positions(space, forest, elem_of):
     order = forest.all_leaves()
     basis = space.basis
     N = space.n_nodes
+    nn = basis.n_nodes
+    lvls = np.array([leaf[0] for _, leaf in order], np.int64)
+    idxs = np.array([leaf[1:] for _, leaf in order], np.float64)
+    bs = np.array([b for b, _ in order], np.int64)
+    h = 1.0 / (1 << lvls)                                  # [E]
+    # one owning element per node: FIRST occurrence in element order
+    flat = space.elem_nodes.reshape(-1)
+    uniq, first = np.unique(flat, return_index=True)
+    e_idx, n_idx = first // nn, first % nn
     base_cell = np.full(N, -1, dtype=np.int64)
     base_pos = np.zeros((N, space.dim))
-    for i, (b, leaf) in enumerate(order):
-        lvl = leaf[0]
-        h = 1.0 / (1 << lvl)
-        lo = np.array(leaf[1:], dtype=np.float64) * h
-        ref = lo[None, :] + basis.nodes * h            # [nn, d] in base ref
-        gids = space.elem_nodes[i]
-        newmask = base_cell[gids] < 0
-        base_cell[gids[newmask]] = b
-        base_pos[gids[newmask]] = ref[newmask]
+    base_cell[uniq] = bs[e_idx]
+    base_pos[uniq] = (idxs[e_idx] + basis.nodes[n_idx]) \
+        * h[e_idx][:, None]
     return base_cell, base_pos
 
 
-def locate_in_forest(base_cell, base_pos, forest, elem_of, dim):
-    """Walk a forest down to the leaf containing each (base cell,
-    base-ref position); returns (elem [N], ref_in_leaf [N, dim])."""
+def _locate_in_forest_loop(base_cell, base_pos, forest, elem_of, dim):
+    """Reference per-node walk (deep forests > level 15)."""
     N = base_cell.shape[0]
     elem = np.zeros(N, dtype=np.int64)
     ref = np.zeros((N, dim))
@@ -64,6 +66,68 @@ def locate_in_forest(base_cell, base_pos, forest, elem_of, dim):
         h = 1.0 / (1 << lvl)
         ref[nid] = np.clip(
             (pos - np.array(idx, dtype=np.float64) * h) / h, 0.0, 1.0)
+    return elem, ref
+
+
+_ENC_BITS = 15                     # per-axis index bits (level <= 15)
+
+
+def _encode(b, lvl, idx):
+    """int64 code for (base, level, i0..i_{d-1}) with i < 2^15."""
+    code = b.astype(np.int64) * 16 + lvl
+    for a in range(idx.shape[-1]):
+        code = (code << _ENC_BITS) | idx[..., a]
+    return code
+
+
+def locate_in_forest(base_cell, base_pos, forest, elem_of, dim):
+    """Leaf containing each (base cell, base-ref position):
+    (elem [N], ref_in_leaf [N, dim]).
+
+    Vectorized level-synchronous descent (one np.isin per level)
+    instead of a per-node Python walk — the per-adaptation host cost at
+    1M+ nodes drops from minutes to milliseconds (SURVEY §7.3 hard
+    part #1)."""
+    base_cell = np.asarray(base_cell, np.int64)
+    base_pos = np.asarray(base_pos, np.float64)
+    maxlvl = max((leaf[0] for s in forest.leaves for leaf in s),
+                 default=0)
+    if maxlvl >= _ENC_BITS or len(forest.leaves) >= (1 << 40):
+        return _locate_in_forest_loop(base_cell, base_pos, forest,
+                                      elem_of, dim)
+    keys = list(elem_of.keys())
+    kb = np.array([k[0] for k in keys], np.int64)
+    klvl = np.array([k[1][0] for k in keys], np.int64)
+    kidx = np.array([k[1][1:] for k in keys], np.int64)
+    kcode = _encode(kb, klvl, kidx)
+    kelem = np.array([elem_of[k] for k in keys], np.int64)
+    order = np.argsort(kcode)
+    kcode_s, kelem_s = kcode[order], kelem[order]
+
+    N = base_cell.shape[0]
+    lvl = np.zeros(N, np.int64)
+    idx = np.zeros((N, dim), np.int64)
+    elem = np.full(N, -1, np.int64)
+    active = np.ones(N, bool)
+    for _ in range(maxlvl + 1):
+        code = _encode(base_cell, lvl, idx)
+        pos_s = np.searchsorted(kcode_s, code)
+        pos_c = np.minimum(pos_s, kcode_s.size - 1)
+        hit = active & (kcode_s[pos_c] == code)
+        elem[hit] = kelem_s[pos_c[hit]]
+        active &= ~hit
+        if not active.any():
+            break
+        # descend one level at the still-active nodes
+        h = 1.0 / (1 << lvl[active])
+        local = base_pos[active] / h[:, None] - idx[active]
+        bit = (local >= 0.5).astype(np.int64)
+        idx[active] = 2 * idx[active] + bit
+        lvl[active] += 1
+    if active.any():
+        raise RuntimeError("forest walk failed (unresolved nodes)")
+    h = 1.0 / (1 << lvl)
+    ref = np.clip(base_pos / h[:, None] - idx, 0.0, 1.0)
     return elem, ref
 
 
