@@ -24,26 +24,30 @@ from ..ops.operators import gather_elements
 
 
 def conforming_face_pairs(space):
-    """[(elem+, face+, elem-, face-)] for interior conforming faces."""
+    """[(elem+, face+, elem-, face-)] for interior conforming faces
+    (vectorized: sorted-corner face keys + one np.unique)."""
     mesh = space.mesh
     d = space.dim
     nc = 2 ** d
     from ..fem.basis import _lex_indices
     corner_ij = _lex_indices(2, d)
-    seen: dict[tuple, tuple] = {}
-    pairs = []
-    for e in range(mesh.n_cells):
-        for f in range(2 * d):
-            axis, side = divmod(f, 2)
-            sel = [i for i in range(nc)
-                   if corner_ij[i, axis] == (1 if side else 0)]
-            key = tuple(sorted(int(mesh.cells[e, i]) for i in sel))
-            if key in seen:
-                e2, f2 = seen.pop(key)
-                pairs.append((e2, f2, e, f))
-            else:
-                seen[key] = (e, f)
-    return pairs
+    nf = 2 * d
+    keys = np.zeros((mesh.n_cells, nf, 2 ** (d - 1)), np.int64)
+    for f in range(nf):
+        axis, side = divmod(f, 2)
+        sel = [i for i in range(nc)
+               if corner_ij[i, axis] == (1 if side else 0)]
+        keys[:, f, :] = np.sort(mesh.cells[:, sel], axis=1)
+    flat = keys.reshape(mesh.n_cells * nf, -1)
+    uniq, inv, counts = np.unique(flat, axis=0, return_inverse=True,
+                                  return_counts=True)
+    order = np.argsort(inv, kind="stable")
+    starts = np.cumsum(counts) - counts
+    two = counts == 2
+    i1 = order[starts[two]]
+    i2 = order[starts[two] + 1]
+    pairs = np.stack([i1 // nf, i1 % nf, i2 // nf, i2 % nf], axis=1)
+    return [tuple(int(v) for v in row) for row in pairs]
 
 
 def _face_quad_perms(space, pairs, fp, fm, n_q1d):
@@ -56,17 +60,19 @@ def _face_quad_perms(space, pairs, fp, fm, n_q1d):
     xp = np.einsum("qn,fnd->fqd", Bp, xe[pairs[:, 0]])
     xm = np.einsum("qn,fnd->fqd", Bm, xe[pairs[:, 2]])
     nq = xp.shape[1]
-    perm = np.zeros((len(pairs), nq), dtype=np.int64)
-    for i in range(len(pairs)):
-        scale = max(np.abs(xp[i]).max(), 1.0)
-        d2 = np.linalg.norm(xp[i][:, None, :] - xm[i][None, :, :],
-                            axis=-1)
-        perm[i] = np.argmin(d2, axis=1)
-        if np.min(d2[np.arange(nq), perm[i]]) > 1e-8 * scale or \
-                len(set(perm[i])) != nq:
-            raise ValueError(
-                "conforming face quadrature points do not match "
-                f"(pair {pairs[i]})")
+    # vectorized over all pairs (a per-pair loop is the host hotspot of
+    # the estimator at large E)
+    d2 = np.linalg.norm(xp[:, :, None, :] - xm[:, None, :, :], axis=-1)
+    perm = np.argmin(d2, axis=2)                         # [F, nq]
+    scale = np.maximum(np.abs(xp).reshape(len(pairs), -1).max(axis=1),
+                       1.0)
+    best = np.take_along_axis(d2, perm[:, :, None], axis=2)[:, :, 0]
+    bad = (best.max(axis=1) > 1e-8 * scale) \
+        | (np.sort(perm, axis=1) != np.arange(nq)[None, :]).any(axis=1)
+    if bad.any():
+        raise ValueError(
+            "conforming face quadrature points do not match "
+            f"(pair {pairs[np.argmax(bad)]})")
     return perm
 
 
