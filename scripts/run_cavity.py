@@ -85,6 +85,9 @@ end
 """
 
 prm = SimulationParameters.from_text(DECK.format(n=N), dim=2)
+# CAV_PRECOND=block_jacobi works around a TPU-runtime fault observed
+# with the 2D GMG program at >= 256^2 (docs/VALIDATION.md)
+prm.linear_solver.preconditioner = os.environ.get("CAV_PRECOND", "auto")
 t0 = time.time()
 s = GLSNavierStokesSolver(prm)
 print(f"elements={s.space.n_elements} dofs={s.space.n_dofs(3)} "

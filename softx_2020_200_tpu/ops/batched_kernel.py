@@ -220,17 +220,20 @@ def node_blocks_batched(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
     def chunk_blocks(args):
         ue_k, xe_k, up_k, fq_k = args
 
-        def probe(k):
+        # STATIC probe unroll: a lax.map over probes needs a dynamic
+        # row gather (out[n0] with traced n0) whose combination with
+        # the surrounding solver loops segfaulted the TPU runtime at
+        # 2D >= 256^2; static indices also linearize once
+        f = lambda u: kernel(u, xe_k, up_k, fq_k, alpha0, sdt)
+        _, f_lin = jax.linearize(f, ue_k)
+        cols = []
+        for k in range(nn * c):
             n0, j = k // c, k % c
             tangent = jnp.zeros((nn, c, 1), ue_soa.dtype) \
                 .at[n0, j, 0].set(1.0)
             tangent = tangent * jnp.ones((1, 1, Ec), ue_soa.dtype)
-            f = lambda u: kernel(u, xe_k, up_k, fq_k, alpha0, sdt)
-            out = jax.jvp(f, (ue_k,), (tangent,))[1]     # [nn, c, Ec]
-            return out[n0]                               # [c, Ec]
-
-        cols = jax.lax.map(probe, jnp.arange(nn * c))    # [nn*c, c, Ec]
-        blocks = cols.reshape(nn, c, c, Ec)              # [n, j, i, Ec]
+            cols.append(f_lin(tangent)[n0])              # [c, Ec]
+        blocks = jnp.stack(cols).reshape(nn, c, c, Ec)   # [n, j, i, Ec]
         blocks = jnp.transpose(blocks, (3, 0, 2, 1))     # [Ec, n, i, j]
         return blocks.reshape(Ec, nn * c * c)
 
@@ -275,16 +278,17 @@ def node_blocks_batched_bm(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
     def chunk_blocks(args):
         ue_k, xe_k, up_k, fq_k = args
 
-        def probe(k):
+        # static probe unroll (see node_blocks_batched for why)
+        f = lambda u: kernel(u, xe_k, up_k, fq_k, alpha0, sdt)
+        _, f_lin = jax.linearize(f, ue_k)
+        cols_l = []
+        for k in range(nn * c):
             n0, j = k // c, k % c
             tangent = jnp.zeros((nn, c, 1), ue_soa.dtype) \
                 .at[n0, j, 0].set(1.0)
             tangent = tangent * jnp.ones((1, 1, Ec), ue_soa.dtype)
-            f = lambda u: kernel(u, xe_k, up_k, fq_k, alpha0, sdt)
-            out = jax.jvp(f, (ue_k,), (tangent,))[1]     # [nn, c, Ec]
-            return out[n0]                               # [c(i), Ec]
-
-        cols = jax.lax.map(probe, jnp.arange(nn * c))    # [(n,j), i, Ec]
+            cols_l.append(f_lin(tangent)[n0])            # [c(i), Ec]
+        cols = jnp.stack(cols_l)                         # [(n,j), i, Ec]
         blk = cols.reshape(nn, c, c, Ec)                 # [n, j, i, Ec]
         blk = jnp.transpose(blk, (2, 1, 0, 3))           # [i, j, n, Ec]
         return blk.reshape(c * c, nn, Ec)

@@ -35,6 +35,19 @@ class Preconditioner:
     apply: Callable      # v[N, c] -> M^{-1} v  [N, c]
 
 
+def _invert_blocks(blocks, eye):
+    """Closed-form batched inverse of [N, c, c] blocks (degenerate ->
+    identity).  NEVER use jnp.linalg.inv here: its TPU LU custom call
+    SEGFAULTS the TPU runtime when executed inside nested lax loops at
+    large N (worker 'crashed or restarted'); the cofactor inverse in
+    batch-minor layout is also faster for c <= 4."""
+    from .smallmat import det_bm, inv_bm
+    bm = jnp.transpose(blocks, (1, 2, 0))
+    deg = jnp.abs(det_bm(bm)) < 1e-300
+    bm = jnp.where(deg[None, None, :], eye[:, :, None], bm)
+    return jnp.transpose(inv_bm(bm), (2, 0, 1))
+
+
 def build_jacobi(A_e, elem_nodes, n_nodes: int, nn: int, nc: int,
                  bc_mask=None, amap=None) -> Preconditioner:
     """Pointwise diagonal: scatter-add local diagonals, invert."""
@@ -71,9 +84,7 @@ def build_block_jacobi(A_e, elem_nodes, n_nodes: int, nn: int, nc: int,
                                      jnp.eye(nc, dtype=A_e.dtype))
     # regularize empty blocks
     eye = jnp.eye(nc, dtype=A_e.dtype)
-    degenerate = jnp.abs(jnp.linalg.det(blocks)) < 1e-300
-    blocks = jnp.where(degenerate[:, None, None], eye[None], blocks)
-    binv = jnp.linalg.inv(blocks)
+    binv = _invert_blocks(blocks, eye)
 
     def apply(v):
         return jnp.einsum("nij,nj->ni", binv, v)
@@ -132,9 +143,7 @@ def build_from_node_blocks(kind: str, blocks, bc_mask) -> Preconditioner:
         diag = jnp.diagonal(blocks, axis1=1, axis2=2)
         diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
         return Preconditioner(apply=lambda v: v / diag)
-    degenerate = jnp.abs(jnp.linalg.det(blocks)) < 1e-300
-    blocks = jnp.where(degenerate[:, None, None], eye[None], blocks)
-    binv = jnp.linalg.inv(blocks)
+    binv = _invert_blocks(blocks, eye)
     return Preconditioner(
         apply=lambda v: jnp.einsum("nij,nj->ni", binv, v))
 
@@ -151,9 +160,7 @@ def node_blocks_to_state(kind: str, blocks, bc_mask):
     if kind == "jacobi":
         diag = jnp.diagonal(blocks, axis1=1, axis2=2)
         return 1.0 / jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
-    degenerate = jnp.abs(jnp.linalg.det(blocks)) < 1e-300
-    blocks = jnp.where(degenerate[:, None, None], eye[None], blocks)
-    return jnp.linalg.inv(blocks)
+    return _invert_blocks(blocks, eye)
 
 
 def apply_node_block_state(state, v):

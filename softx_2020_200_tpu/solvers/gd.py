@@ -432,9 +432,11 @@ class GDNavierStokesSolver:
             blocks = blocks + jnp.einsum(
                 "ni,ij->nij", mrow, jnp.eye(d, dtype=blocks.dtype))
             eye = jnp.eye(d, dtype=blocks.dtype)
-            deg = jnp.abs(jnp.linalg.det(blocks)) < 1e-300
-            binv = jnp.linalg.inv(
-                jnp.where(deg[:, None, None], eye[None], blocks))
+            # closed-form batched inverse: jnp.linalg.inv's TPU LU
+            # custom call segfaults the runtime inside nested lax loops
+            # at large N (see ops/preconditioners._invert_blocks)
+            from ..ops.preconditioners import _invert_blocks
+            binv = _invert_blocks(blocks, eye)
             mp = op.pressure_lumped_mass()
             schur_scale = -(op.nu + op.gamma)
 
