@@ -399,17 +399,83 @@ def hyper_cube(left: float = 0.0, right: float = 1.0, colorize: bool = False,
                                       [1] * dim, colorize=colorize, dim=dim)
 
 
+def _cube_face_frames():
+    """For each of the 6 cube faces: (outward normal, d1, d2) with
+    det[n, d1, d2] = +1 so every O-grid block keeps a positive Jacobian
+    (axis0 = radial outward, axes 1/2 tangential)."""
+    frames = []
+    for f in range(6):
+        a, side = divmod(f, 2)
+        n = np.zeros(3)
+        n[a] = 2 * side - 1.0
+        u, v = [ax for ax in range(3) if ax != a]
+        d1 = np.zeros(3)
+        d2 = np.zeros(3)
+        d1[u], d2[v] = 1.0, 1.0
+        if np.linalg.det(np.stack([n, d1, d2])) < 0:
+            d1, d2 = d2, d1
+        frames.append((n, d1, d2))
+    return frames
+
+
+def _ball_ogrid_cells(node, center, r_inner, outer_pt):
+    """Six hex blocks between a sphere of radius ``r_inner`` and an outer
+    surface described by ``outer_pt(q) -> point`` (q = the cube-corner
+    direction vector of unit half-width).  Corner order is lexicographic
+    with axis0 = radial; returns list of (cell_corners, sphere_is_face0).
+    ``node`` is the shared vertex-dedup closure."""
+    cells = []
+    for (n, d1, d2) in _cube_face_frames():
+        lex = [0] * 8                  # corner index = b0 + 2*b1 + 4*b2
+        for b2 in (0, 1):
+            for b1 in (0, 1):
+                q = n + (2 * b1 - 1) * d1 + (2 * b2 - 1) * d2
+                sp = center + r_inner * q / np.linalg.norm(q)
+                lex[0 + 2 * b1 + 4 * b2] = node(*sp)
+                lex[1 + 2 * b1 + 4 * b2] = node(*outer_pt(q))
+        cells.append(lex)
+    return cells
+
+
 def hyper_shell(center, inner_radius: float, outer_radius: float,
                 n_cells: int = 0, colorize: bool = True) -> Mesh:
-    """2D annulus, polar-structured, with a mesh-wide spherical manifold.
+    """Annulus (2D) / spherical shell (3D, 6-cell cube-sphere).
 
     Boundary ids (colorize, deal.II convention): inner = 0, outer = 1.
-    The theta direction is closed by construction (shared vertices).
+    2D: polar-structured with a mesh-wide spherical manifold (theta
+    closed by shared vertices).  3D: six hex blocks between the two
+    radii; both boundaries carry spherical manifolds, refinement places
+    nodes on the true spheres via transfinite blending.
     """
     center = np.asarray(center, dtype=np.float64)
     dim = center.shape[0]
-    if dim != 2:
-        raise NotImplementedError("hyper_shell currently 2D only")
+    if dim == 3:
+        vid = {}
+        verts = []
+
+        def node(x, y, z):
+            key = (round(x, 12), round(y, 12), round(z, 12))
+            if key not in vid:
+                vid[key] = len(verts)
+                verts.append([x, y, z])
+            return vid[key]
+
+        def outer_pt(q):
+            return center + outer_radius * q / np.linalg.norm(q)
+
+        cells = _ball_ogrid_cells(node, center, inner_radius, outer_pt)
+        faces = []
+        for en in range(6):
+            faces.append((en, 0, 0 if colorize else 0))   # inner sphere
+            faces.append((en, 1, 1 if colorize else 0))   # outer sphere
+        mesh = Mesh(dim=3, vertices=np.asarray(verts, dtype=np.float64),
+                    cells=np.asarray(cells, dtype=np.int64),
+                    boundary_faces=np.asarray(
+                        faces, dtype=np.int64).reshape(-1, 3))
+        man = Manifold("spherical", center)
+        mesh.boundary_manifolds[0] = man
+        mesh.boundary_manifolds[1] = man
+        return mesh
     if n_cells <= 0:
         n_cells = 8
     nr, nth = 1, n_cells
@@ -518,6 +584,87 @@ def channel_with_cylinder(length: float = 2.2, height: float = 0.41,
     return mesh
 
 
+def channel_with_sphere(length: float = 20.0, half_height: float = 5.0,
+                        cx: float = 5.0, cy: float = 0.0, cz: float = 0.0,
+                        radius: float = 0.5) -> Mesh:
+    """Box channel with a spherical hole — the 3D analogue of
+    :func:`channel_with_cylinder` and the geometry of BASELINE config #5
+    (flow past a sphere, SURVEY.md §6).
+
+    Multiblock coarse mesh: a 6-hex O-grid between the sphere surface
+    and the cube [c - 2R, c + 2R]^3, glued conformingly into a graded
+    background grid over [0, L] x [-H, H] x [-H, H].  The sphere surface
+    carries a spherical boundary manifold so refinement lands on the
+    true sphere (transfinite blending in :func:`place_nodes`).
+
+    Boundary ids: 0 = inlet (x-), 1 = outlet (x+), 2 = lateral walls
+    (y+-, z+-), 3 = sphere surface.
+    """
+    s = 2.0 * radius
+    center = np.array([cx, cy, cz])
+    n_wake = max(3, int(round((length - (cx + s)) / (2.5 * s))))
+    xs = sorted({0.0, cx - s, cx + s}
+                | set(np.linspace(cx + s, length, n_wake + 1)[1:])
+                | (set(np.linspace(0.0, cx - s, 3)[1:-1])
+                   if cx - s > 1.5 * s else set()))
+    ys = sorted({-half_height, cy - s, cy + s, half_height}
+                | ({-(half_height + s) / 2, (half_height + s) / 2}
+                   if half_height > 3 * s else set()))
+    zs = sorted({-half_height, cz - s, cz + s, half_height}
+                | ({-(half_height + s) / 2, (half_height + s) / 2}
+                   if half_height > 3 * s else set()))
+    vid = {}
+    verts = []
+
+    def node(x, y, z):
+        key = (round(x, 12), round(y, 12), round(z, 12))
+        if key not in vid:
+            vid[key] = len(verts)
+            verts.append([x, y, z])
+        return vid[key]
+
+    cells = []
+    faces = []
+    hole = (cx - s, cy - s, cz - s)
+    for i in range(len(xs) - 1):
+        for j in range(len(ys) - 1):
+            for k in range(len(zs) - 1):
+                if (abs(xs[i] - hole[0]) < 1e-12
+                        and abs(ys[j] - hole[1]) < 1e-12
+                        and abs(zs[k] - hole[2]) < 1e-12):
+                    continue              # the O-grid fills this cell
+                c = [node(xs[i + b0], ys[j + b1], zs[k + b2])
+                     for b2 in (0, 1) for b1 in (0, 1) for b0 in (0, 1)]
+                en = len(cells)
+                cells.append(c)
+                if i == 0:
+                    faces.append((en, 0, 0))                  # inlet
+                if i == len(xs) - 2:
+                    faces.append((en, 1, 1))                  # outlet
+                if j == 0:
+                    faces.append((en, 2, 2))
+                if j == len(ys) - 2:
+                    faces.append((en, 3, 2))
+                if k == 0:
+                    faces.append((en, 4, 2))
+                if k == len(zs) - 2:
+                    faces.append((en, 5, 2))
+
+    def outer_pt(q):
+        return center + s * q
+
+    for lex in _ball_ogrid_cells(node, center, radius, outer_pt):
+        en = len(cells)
+        cells.append(lex)
+        faces.append((en, 0, 3))          # sphere surface (axis0-)
+    mesh = Mesh(dim=3, vertices=np.asarray(verts, dtype=np.float64),
+                cells=np.asarray(cells, dtype=np.int64),
+                boundary_faces=np.asarray(faces,
+                                          dtype=np.int64).reshape(-1, 3))
+    mesh.boundary_manifolds[3] = Manifold("spherical", center)
+    return mesh
+
+
 # --------------------------------------------------------------------------
 # deal.II-style string dispatch ("grid type" / "grid arguments")
 # --------------------------------------------------------------------------
@@ -570,6 +717,15 @@ def generate_mesh(grid_type: str, grid_arguments: str, dim: int,
                                          float(args[2]))
         else:
             mesh = channel_with_cylinder()
+    elif gt == "channel_with_sphere":
+        # "length, half_height : cx, cy, cz : radius"
+        if len(args) >= 3:
+            lh = _floats(args[0])
+            cc = _floats(args[1])
+            mesh = channel_with_sphere(lh[0], lh[1], cc[0], cc[1],
+                                       cc[2], float(args[2]))
+        else:
+            mesh = channel_with_sphere()
     else:
         raise ValueError(f"unknown grid type {grid_type!r}")
     if initial_refinement > 0:

@@ -81,8 +81,14 @@ class ShardLayout:
         return out
 
 
-def partition_space(space, n_shards: int) -> ShardLayout:
-    """Build the shard layout for an FESpace over n_shards devices."""
+def partition_space(space, n_shards: int, hc=None) -> ShardLayout:
+    """Build the shard layout for an FESpace over n_shards devices.
+
+    ``hc`` (HangingConstraints) closes each shard's node set over the
+    MASTERS of any hanging node the shard touches, so constraint rows
+    can be applied shard-locally after a ghost refresh (the distributed
+    analogue of deal.II's locally_relevant_dofs including constraint
+    dependencies — SURVEY.md §2.2 setup_dofs)."""
     P = n_shards
     elem_nodes = space.elem_nodes            # [E, nn] int32 global
     coords = space.element_coords()          # [E, nn, dim]
@@ -99,11 +105,23 @@ def partition_space(space, n_shards: int) -> ShardLayout:
     for p in range(P - 1, -1, -1):
         owner[np.unique(elem_nodes[shard_elems[p]])] = p
 
+    hc_ids = hc_masters = None
+    if hc is not None and hc.n:
+        hc_ids = np.asarray(hc.ids, dtype=np.int64)
+        hc_masters = np.asarray(hc.masters, dtype=np.int64)
+
     # local numbering per shard: owned first, then ghosts (sorted by
     # owner then global id, so exchange slices are deterministic)
     locals_g: list[np.ndarray] = []
     for p in range(P):
         touched = np.unique(elem_nodes[shard_elems[p]])
+        if hc_ids is not None:
+            # masters of touched hanging nodes become ghosts too (on a
+            # 2:1 forest masters are genuine DoFs, one closure suffices)
+            sel = np.isin(hc_ids, touched)
+            if sel.any():
+                touched = np.union1d(touched,
+                                     np.unique(hc_masters[sel]))
         own = touched[owner[touched] == p]
         # owned-but-untouched nodes can't exist (owner touches them)
         ghosts = touched[owner[touched] != p]

@@ -83,7 +83,8 @@ class ShardedGLSSolver:
                  stab: StabFlags = StabFlags(),
                  newton: NewtonConfig = NewtonConfig(), dtype=None,
                  kernel: str = "xla", precond: str = "block_jacobi",
-                 source_fn=None, bc_exprs=None, bc_mask=None, mg=None):
+                 source_fn=None, bc_exprs=None, bc_mask=None, mg=None,
+                 hc=None):
         """kernel:   'xla' | 'pallas' | 'pallas_interpret'
         precond:  'jacobi' | 'block_jacobi' | 'gmg'
         source_fn: traceable (qpts[..., d], t) -> [..., d] body force
@@ -93,11 +94,17 @@ class ShardedGLSSolver:
         bc_mask:  global [N, c] bool Dirichlet mask (default: all free)
         mg:       (level_ops, mg_consts) from ops.multigrid.build_hierarchy
                   — levels [1:] become the replicated coarse grids
+        hc:       fem.constraints.HangingConstraints of an ADAPTED mesh;
+                  constraint rows are localized per shard and applied
+                  inside the jitted step (the distributed analogue of the
+                  reference's AffineConstraints condensation)
         """
         devices = devices if devices is not None else jax.devices()
         self.n_shards = len(devices)
         self.mesh = Mesh(np.array(devices), (AXIS,))
-        self.layout = layout or partition_space(space, self.n_shards)
+        self.hc = hc if (hc is not None and hc.n) else None
+        self.layout = layout or partition_space(space, self.n_shards,
+                                                hc=self.hc)
         L = self.layout
         self.space = space
         self.dim = space.dim
@@ -119,11 +126,13 @@ class ShardedGLSSolver:
         self.stab = stab
         self.precond_kind = precond
 
-        # default Dirichlet mask stack (a solve() may pass its own)
+        # default Dirichlet mask stack (a solve() may pass its own);
+        # hanging rows are masked like Dirichlet rows (their Newton
+        # update is pinned; values come from distribute())
         if bc_mask is None:
             bc_mask = np.zeros((space.n_nodes, self.nc), bool)
         self._mask_stack = jnp.asarray(
-            L.to_local(np.asarray(bc_mask, np.float64)) > 0.5)
+            L.to_local(self._augment_mask(bc_mask)) > 0.5)
         self._zero_vals = jnp.zeros(
             (self.n_shards, L.N_loc, self.nc), dtype)
 
@@ -165,8 +174,9 @@ class ShardedGLSSolver:
         # Dirichlet: local slot lists per function-bc entry
         self._bc_exprs = []
         trash = L.N_loc - 1
-        if bc_exprs:
+        if bc_exprs or self.hc is not None:
             g2slot = self._global_to_slot()          # [P, N] int32
+        if bc_exprs:
             for bi, (gids, exprs) in enumerate(bc_exprs):
                 gids = np.asarray(gids, dtype=np.int64)
                 if gids.size == 0:
@@ -175,6 +185,32 @@ class ShardedGLSSolver:
                     slots = g2slot[:, gids]
                 C[f"bc_slots{bi}"] = jnp.asarray(slots)
                 self._bc_exprs.append(exprs)
+
+        # hanging constraints, localized per shard: rows for every
+        # hanging node PRESENT on the shard (masters are present by the
+        # partition closure); padded rows write the trash slot with
+        # zero weights
+        if self.hc is not None:
+            hids = np.asarray(self.hc.ids, np.int64)
+            hmast = np.asarray(self.hc.masters, np.int64)
+            hw = np.asarray(self.hc.weights, np.float64)
+            M_h = hmast.shape[1]
+            present = g2slot[:, hids] != trash            # [P, H]
+            Hl = max(1, int(present.sum(axis=1).max()))
+            ids_l = np.full((self.n_shards, Hl), trash, np.int32)
+            mast_l = np.full((self.n_shards, Hl, M_h), trash, np.int32)
+            w_l = np.zeros((self.n_shards, Hl, M_h), np.float64)
+            for p in range(self.n_shards):
+                sel = np.nonzero(present[p])[0]
+                ids_l[p, :len(sel)] = g2slot[p, hids[sel]]
+                mast_l[p, :len(sel)] = g2slot[p][hmast[sel]]
+                w_l[p, :len(sel)] = hw[sel]
+                if (mast_l[p, :len(sel)] == trash).any():
+                    raise RuntimeError(
+                        "hanging-node master missing from shard closure")
+            C["hc_ids"] = jnp.asarray(ids_l)
+            C["hc_masters"] = jnp.asarray(mast_l)
+            C["hc_weights"] = jnp.asarray(w_l, dtype)
 
         # ---------------- pallas kernel (optional) --------------------
         self._pallas = None
@@ -214,7 +250,9 @@ class ShardedGLSSolver:
                         op.consts(),
                         **{k: self._mg_rep[li][k]
                            for k in ("bh_mask", "masters", "weights",
-                                     "inject")
+                                     "inject", "inj_masters",
+                                     "inj_weights", "hc_ids",
+                                     "hc_masters", "hc_weights")
                            if k in self._mg_rep[li]})
             self._wire_mg_transfers(C, mg_consts)
             import dataclasses as _dc
@@ -276,7 +314,16 @@ class ShardedGLSSolver:
             stab=solver.op.stab, newton=newton or solver.newton_cfg,
             dtype=dtype, kernel=kernel, precond=precond,
             source_fn=source_fn, bc_exprs=solver.bh.function_entries,
-            bc_mask=solver.bh.mask_np, mg=mg)
+            bc_mask=solver.bh.mask_np, mg=mg,
+            hc=solver.hc if solver.hc.n else None)
+
+    # ------------------------------------------------------------------
+    def _augment_mask(self, bc_mask_global):
+        """Global bool mask with hanging rows OR'd in (all components)."""
+        m = np.asarray(bc_mask_global, bool).copy()
+        if self.hc is not None:
+            m[np.asarray(self.hc.ids, np.int64)] = True
+        return m.astype(np.float64)
 
     # ------------------------------------------------------------------
     def _global_to_slot(self):
@@ -299,8 +346,6 @@ class ShardedGLSSolver:
         m1 = mg_consts[1]
         masters = np.asarray(m1["masters"])      # [Nf, nn_c] coarse ids
         weights = np.asarray(m1["weights"])      # [Nf, nn_c]
-        inject = np.asarray(m1["inject"])        # [Nc] fine ids
-        Nc = inject.shape[0]
 
         ml = np.zeros((self.n_shards, L.N_loc, masters.shape[1]), np.int32)
         wl = np.zeros((self.n_shards, L.N_loc, masters.shape[1]),
@@ -317,8 +362,7 @@ class ShardedGLSSolver:
         C["mg_weights"] = jnp.asarray(
             np.transpose(wl, (0, 2, 1)).copy(), self.dtype)
 
-        # injection: coarse node k samples fine node inject[k]; each fine
-        # node is OWNED by exactly one shard -> per-shard (rows, slots)
+        # each fine node is OWNED by exactly one shard
         owner_arr = np.full(self.space.n_nodes, -1, np.int64)
         slot_arr = np.full(self.space.n_nodes, trash, np.int64)
         own = L.owned_mask > 0
@@ -326,19 +370,48 @@ class ShardedGLSSolver:
             ids = L.l2g[p, own[p]]
             owner_arr[ids] = p
             slot_arr[ids] = np.nonzero(own[p])[0]
-        inj_owner = owner_arr[inject]
-        inj_slot = slot_arr[inject]
-        counts = [int(np.sum(inj_owner == p))
-                  for p in range(self.n_shards)]
-        K = max(1, max(counts))
-        inj_rows = np.full((self.n_shards, K), Nc, np.int32)  # pad row Nc
-        inj_slots = np.full((self.n_shards, K), trash, np.int32)
-        for p in range(self.n_shards):
-            sel = np.nonzero(inj_owner == p)[0]
-            inj_rows[p, :len(sel)] = sel
-            inj_slots[p, :len(sel)] = inj_slot[sel]
-        C["mg_inj_rows"] = jnp.asarray(inj_rows)
-        C["mg_inj_slots"] = jnp.asarray(inj_slots)
+
+        if "inject" in m1:
+            # structured hierarchy: coarse node k samples ONE fine node
+            inject = np.asarray(m1["inject"])    # [Nc] fine ids
+            Nc = inject.shape[0]
+            inj_owner = owner_arr[inject]
+            inj_slot = slot_arr[inject]
+            counts = [int(np.sum(inj_owner == p))
+                      for p in range(self.n_shards)]
+            K = max(1, max(counts))
+            inj_rows = np.full((self.n_shards, K), Nc, np.int32)  # pad Nc
+            inj_slots = np.full((self.n_shards, K), trash, np.int32)
+            for p in range(self.n_shards):
+                sel = np.nonzero(inj_owner == p)[0]
+                inj_rows[p, :len(sel)] = sel
+                inj_slots[p, :len(sel)] = inj_slot[sel]
+            C["mg_inj_rows"] = jnp.asarray(inj_rows)
+            C["mg_inj_slots"] = jnp.asarray(inj_slots)
+        else:
+            # forest hierarchy: coarse node k INTERPOLATES fine nodes
+            # (GLL lattices are not nested); each fine node contributes
+            # from its owner shard, psum merges the replicated rows
+            im = np.asarray(m1["inj_masters"])   # [Nc, K] fine ids
+            iw = np.asarray(m1["inj_weights"])   # [Nc, K]
+            Nc = im.shape[0]
+            g2l = np.full((self.n_shards, self.space.n_nodes), trash,
+                          np.int64)
+            for p in range(self.n_shards):
+                v = valid[p]
+                g2l[p, L.l2g[p, v]] = np.nonzero(v)[0]
+            slots2 = np.full((self.n_shards,) + im.shape, trash,
+                             np.int32)
+            w2 = np.zeros((self.n_shards,) + im.shape, np.float64)
+            for p in range(self.n_shards):
+                mine = owner_arr[im] == p
+                slots2[p] = np.where(mine, g2l[p][im], trash)
+                w2[p] = iw * mine
+            # K-major so each term is a plain [Nc]-gather: [P, K, Nc]
+            C["mg_istate_slots"] = jnp.asarray(
+                np.transpose(slots2, (0, 2, 1)).copy())
+            C["mg_istate_w"] = jnp.asarray(
+                np.transpose(w2, (0, 2, 1)).copy(), self.dtype)
         self._mg_nc1 = Nc
 
         # RESTRICTION as per-coarse-node child GATHERS: invert the
@@ -402,6 +475,7 @@ class ShardedGLSSolver:
         source_fn = self.source_fn
         bc_exprs = self._bc_exprs
         use_mg = self._mg_ops is not None
+        use_hc = self.hc is not None
         dtype = self.dtype
         precond_kind = self.precond_kind
 
@@ -455,6 +529,30 @@ class ShardedGLSSolver:
                     r = r.at[send_i].add(got)
                 return zero_trash(r)
 
+            # hanging-node constraint rows, shard-local (no-ops on
+            # conforming meshes).  distribute runs AFTER refresh (masters
+            # are ghosts with fresh owner values); the transpose runs on
+            # the LOCAL partial residual BEFORE combine — the transpose
+            # is linear, so moving each shard's partials onto (possibly
+            # ghost) master slots and psum-combining equals the global
+            # condensation of the single-device path.
+            if use_hc:
+                h_ids = C["hc_ids"]               # [H] local slots
+                h_mast = C["hc_masters"]          # [H, M]
+                h_w = C["hc_weights"]             # [H, M]
+
+                def hc_distribute(u):
+                    vals = jnp.einsum("hm,hmc->hc", h_w, u[h_mast])
+                    return u.at[h_ids].set(vals)
+
+                def hc_transpose(r):
+                    rh = r[h_ids]                              # [H, c]
+                    r = r.at[h_mast].add(
+                        h_w[:, :, None] * rh[:, None, :])
+                    return r.at[h_ids].set(0.0)
+            else:
+                hc_distribute = hc_transpose = lambda x: x
+
             def rows_from_soa(soa):
                 """[k1, k2, E] -> pallas row layout [k1*k2, Eg, S, L]."""
                 k = soa.shape[0] * soa.shape[1]
@@ -478,13 +576,14 @@ class ShardedGLSSolver:
                                alpha0, sdt)
 
             def residual(u, bc_mask, uprev, fq_soa, alpha0, sdt):
-                u = refresh(u)
+                u = hc_distribute(refresh(u))
                 ue = gather_soa(u, nc)
                 upe = gather_soa(refresh(uprev), d)
                 r = kernel_soa(ue, upe, fq_soa, alpha0, sdt)
                 r = r * elem_valid
                 r = assemble_bm(jnp.transpose(r, (1, 0, 2)))   # [c, N]
-                r = combine(r.T) * owned[:, None]
+                r = hc_transpose(r.T)
+                r = combine(r) * owned[:, None]
                 return jnp.where(bc_mask, 0.0, r)
 
             def node_block_inv(u, bc_mask, uprev, fq_soa, alpha0, sdt):
@@ -494,7 +593,7 @@ class ShardedGLSSolver:
                 keeps the persistent Krylov-loop state exactly tiled."""
                 from ..ops.batched_kernel import node_blocks_batched_bm
                 from ..ops.smallmat import det_bm, inv_bm
-                u = refresh(u)
+                u = hc_distribute(refresh(u))
                 ue = gather_soa(u, nc)
                 upe = gather_soa(refresh(uprev), d)
                 if pg is not None and not pg.interpret:
@@ -532,7 +631,12 @@ class ShardedGLSSolver:
                 blocks = jnp.where(deg[None, None, :], eye_bm, blocks)
                 return inv_bm(blocks)
 
-            return residual, node_block_inv
+            def finalize(u):
+                """Owner-consistent ghosts + hanging values on the
+                returned solution."""
+                return hc_distribute(refresh(u))
+
+            return residual, node_block_inv, finalize
 
         # ------------------ GMG V-cycle (optional) --------------------
         mg_ops = self._mg_ops
@@ -547,8 +651,6 @@ class ShardedGLSSolver:
             owned = C["owned"]
             masters = C["mg_masters"]         # [nn_c, N_loc] coarse ids
             weights = C["mg_weights"]         # [nn_c, N_loc]
-            inj_rows = C["mg_inj_rows"]
-            inj_slots = C["mg_inj_slots"]
             child_slots = C["mg_child_slots"]   # [Kc, Nc1]
             child_w = C["mg_child_w"]           # [Kc, Nc1]
             mask1 = mg_rep[0]["bh_mask"]
@@ -556,13 +658,49 @@ class ShardedGLSSolver:
             nm = masters.shape[0]
             Kc = child_slots.shape[0]
 
-            def to_coarse_state(a):
-                """Replicated [Nc1, c] from shard-local rows via psum
-                (each coarse row is written by exactly one shard)."""
-                c = a.shape[-1]
-                out = jnp.zeros((mg_nc1 + 1, c), a.dtype)
-                out = out.at[inj_rows].set(a[inj_slots])
-                return reduce_fn(out[:mg_nc1])
+            # hanging constraints of the FIRST COARSE level (forest
+            # hierarchies; replicated arrays, global coarse numbering)
+            h1 = mg_rep[0].get("hc_ids")
+            use_hc1 = h1 is not None and h1.shape[0] > 0
+            if use_hc1:
+                h1m = mg_rep[0]["hc_masters"]
+                h1w = mg_rep[0]["hc_weights"]
+
+            def hc1_distribute(vc):
+                if not use_hc1:
+                    return vc
+                vals = jnp.einsum("hm,hmc->hc", h1w, vc[h1m])
+                return vc.at[h1].set(vals)
+
+            def hc1_transpose(rc):
+                if not use_hc1:
+                    return rc
+                rh = rc[h1]
+                rc = rc.at[h1m].add(h1w[:, :, None] * rh[:, None, :])
+                return rc.at[h1].set(0.0)
+
+            if "mg_inj_rows" in C:
+                inj_rows = C["mg_inj_rows"]
+                inj_slots = C["mg_inj_slots"]
+
+                def to_coarse_state(a):
+                    """Replicated [Nc1, c] from shard-local rows via psum
+                    (each coarse row is written by exactly one shard)."""
+                    c = a.shape[-1]
+                    out = jnp.zeros((mg_nc1 + 1, c), a.dtype)
+                    out = out.at[inj_rows].set(a[inj_slots])
+                    return reduce_fn(out[:mg_nc1])
+            else:
+                ist_slots = C["mg_istate_slots"]   # [K, Nc1]
+                ist_w = C["mg_istate_w"]           # [K, Nc1]
+
+                def to_coarse_state(a):
+                    """Replicated interpolation of the fine state at the
+                    coarse nodes (forest hierarchies): owner-weighted
+                    local gathers + psum."""
+                    out = sum(ist_w[k][:, None] * a[ist_slots[k]]
+                              for k in range(ist_slots.shape[0]))
+                    return reduce_fn(out)
 
             def builder(u):
                 binv = node_block_inv(u, bc_mask, combo, fq, alpha0, sdt)
@@ -598,8 +736,12 @@ class ShardedGLSSolver:
                     rc = sum(child_w[j][:, None] * res[child_slots[j]]
                              for j in range(Kc))
                     rc = reduce_fn(rc)
+                    rc = hc1_transpose(rc)
                     rc = jnp.where(mask1, 0.0, rc)
                     zc = coarse_apply(rc)
+                    # constrained coarse rows carry zeros in the cycle:
+                    # fill from masters before interpolating up
+                    zc = hc1_distribute(zc)
                     zf = sum(weights[m][:, None] * zc[masters[m]]
                              for m in range(nm))
                     z = z + jnp.where(bc_mask, 0.0, zf) * owned[:, None]
@@ -618,7 +760,7 @@ class ShardedGLSSolver:
             if mg_rep is not None:
                 C["mg_rep"] = mg_rep
             u, combo, mask, vals0 = u[0], combo[0], mask[0], vals0[0]
-            residual, node_block_inv = make_local_fns(C)
+            residual, node_block_inv, finalize = make_local_fns(C)
             reduce_fn = partial(lax.psum, axis_name=AXIS)
 
             # Dirichlet values: static + deck expressions at time t
@@ -670,8 +812,38 @@ class ShardedGLSSolver:
 
             out = newton_solve(res_fn, u, precond_builder=precond_builder,
                                config=cfg, reduce_fn=reduce_fn)
-            return (out.u[None], out.res_history[None],
+            return (finalize(out.u)[None], out.res_history[None],
                     out.n_iterations[None], out.linear_iters[None])
+
+        # single residual evaluation (debug/parity checks, norms)
+        def local_residual(u, combo, mask, vals0, t, alpha0, sdt, C):
+            mg_rep = C.pop("mg_rep", None)
+            C = {k: v[0] for k, v in C.items()}
+            u, combo, mask, vals0 = u[0], combo[0], mask[0], vals0[0]
+            residual, _, _ = make_local_fns(C)
+            vals = vals0
+            for bi, exprs in enumerate(bc_exprs):
+                slots = C[f"bc_slots{bi}"]
+                pts = C["coords"][slots]
+                for ci, e in enumerate(exprs):
+                    vals = vals.at[slots, ci].set(
+                        e.spatial(pts, t).astype(vals.dtype))
+            vals = vals.at[trash].set(0.0)
+            u = jnp.where(mask, vals, u)
+            qb = C["qpts_bm"]
+            E_l = qb.shape[-1] // n_q
+            if source_fn is not None:
+                f = source_fn(qb.T, t).astype(dtype)
+                fq = jnp.transpose(f.T.reshape(d, n_q, E_l), (1, 0, 2))
+            else:
+                fq = jnp.zeros((n_q, d, E_l), dtype)
+            return residual(u, mask, combo, fq, alpha0, sdt)[None]
+
+        self._residual_jit = jax.jit(shard_map(
+            local_residual, self.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(),
+                      self._spec_full()),
+            out_specs=P(AXIS)))
 
         # the shard_map-wrapped raw function: consts arrive as ARGUMENTS
         # (closing over them inside jit would embed every index/geometry
@@ -722,7 +894,7 @@ class ShardedGLSSolver:
         u = self.to_local(u0_global)
         mask = (self._mask_stack if bc_mask_global is None else
                 jnp.asarray(L.to_local(
-                    np.asarray(bc_mask_global, np.float64)) > 0.5))
+                    self._augment_mask(bc_mask_global)) > 0.5))
         vals = (self._zero_vals if bc_vals_global is None else
                 self.to_local(bc_vals_global))
         if uprev_combo_global is None:
@@ -735,6 +907,24 @@ class ShardedGLSSolver:
         u_g = self.to_global(u_new)
         return u_g, np.asarray(hist)[0], int(np.asarray(iters)[0]), \
             int(np.asarray(lin)[0])
+
+    def residual_global(self, u_global, uprev_combo_global=None,
+                        t=0.0, alpha0=0.0, sdt=0.0):
+        """Sharded constrained residual gathered to a global [N, c]
+        array (parity/diagnostic path)."""
+        L = self.layout
+        u = self.to_local(u_global)
+        if uprev_combo_global is None:
+            uprev_combo_global = np.zeros(
+                (L.n_nodes_global, self.dim), dtype=self.dtype)
+        prev = self.to_local(uprev_combo_global)
+        r = self._residual_jit(u, prev, self._mask_stack,
+                               self._zero_vals,
+                               jnp.asarray(t, self.dtype),
+                               jnp.asarray(alpha0, self.dtype),
+                               jnp.asarray(sdt, self.dtype),
+                               self._consts_full())
+        return self.to_global(r)
 
     def solve_local(self, u_stack, combo_stack, t=0.0, alpha0=0.0,
                     sdt=0.0):

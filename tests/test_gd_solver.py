@@ -7,6 +7,8 @@ import pytest
 from softx_2020_200_tpu.core.parameters import SimulationParameters
 from softx_2020_200_tpu.solvers.gd import GDNavierStokesSolver
 
+pytestmark = pytest.mark.slow  # physics tier: run with -m slow / full suite
+
 BASE = """
 subsection simulation control
   set method = steady

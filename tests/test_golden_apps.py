@@ -15,6 +15,8 @@ import contextlib
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # physics tier: run with -m slow / full suite
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 _NUM = re.compile(r"[-+]?\d+\.?\d*(?:[eE][-+]?\d+)?")
 

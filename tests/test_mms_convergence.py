@@ -15,6 +15,8 @@ import pytest
 from softx_2020_200_tpu.core.parameters import SimulationParameters
 from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
 
+pytestmark = pytest.mark.slow  # physics tier: run with -m slow / full suite
+
 MMS_DECK = """
 subsection simulation control
   set method = steady

@@ -9,6 +9,8 @@ import pytest
 from softx_2020_200_tpu.core.parameters import SimulationParameters
 from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
 
+pytestmark = pytest.mark.slow  # physics tier: run with -m slow / full suite
+
 
 def sdirk_error(method, dt, tend=0.5):
     from tests.test_mms_convergence import TRANSIENT_MMS_DECK

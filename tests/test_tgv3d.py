@@ -12,6 +12,8 @@ from softx_2020_200_tpu.core.parameters import SimulationParameters
 from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
 from softx_2020_200_tpu.solvers import postprocessing as post
 
+pytestmark = pytest.mark.slow  # physics tier: run with -m slow / full suite
+
 
 def tgv_deck(n=8, dt=0.05, tend=0.2, nu=0.01):
     L = 2 * np.pi
