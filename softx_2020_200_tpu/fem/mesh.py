@@ -92,16 +92,32 @@ def _from_polar(pol: np.ndarray, center: np.ndarray) -> np.ndarray:
         r * np.cos(phi)], axis=-1)
 
 
+def _multilinear_weights(ref: np.ndarray, nc: int, dim: int) -> np.ndarray:
+    """Corner shape functions at reference points.
+
+    ref [..., nn, dim] -> w [..., nn, nc]."""
+    w = np.ones(ref.shape[:-1] + (nc,))
+    for c in range(nc):
+        for d in range(dim):
+            bit = (c >> d) & 1
+            w[..., c] *= ref[..., d] if bit else (1.0 - ref[..., d])
+    return w
+
+
 def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
                 ref_nodes: np.ndarray, elem_ids=None) -> np.ndarray:
     """Map reference nodes into every cell, honoring manifolds.
 
     ``elem_ids`` maps rows of ``corner_coords`` to the mesh's element
-    indices when only a subset of cells is passed (forest path:
-    per-base-cell leaf placement); default is the identity.
+    indices when only a subset of cells is passed (forest path: leaves
+    carry their BASE cell's index; several rows may share one id);
+    default is the identity.
 
     corner_coords: [E, 2^dim, dim] cell corner positions.
-    ref_nodes:     [nn, dim] reference coordinates in [0,1]^dim.
+    ref_nodes:     [nn, dim] shared reference coordinates in [0,1]^dim,
+                   or [E, nn, dim] PER-ELEMENT coordinates (the
+                   vectorized forest path: every leaf is a different
+                   sub-window of its base cell).
     Returns [E, nn, dim] physical node positions.
 
     With no manifold: multilinear (Q1) interpolation of the corners.
@@ -111,13 +127,11 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
     reference gets from SphericalManifold on a hyper_shell.
     """
     E, nc, dim = corner_coords.shape
-    nn = ref_nodes.shape[0]
-    # multilinear shape functions of the corners at the ref nodes: [nn, nc]
-    w = np.ones((nn, nc))
-    for c in range(nc):
-        for d in range(dim):
-            bit = (c >> d) & 1
-            w[:, c] *= ref_nodes[:, d] if bit else (1.0 - ref_nodes[:, d])
+    per_elem = ref_nodes.ndim == 3
+    nn = ref_nodes.shape[-2]
+    # corner shape functions: [nn, nc] shared or [E, nn, nc] per element
+    w = _multilinear_weights(ref_nodes, nc, dim)
+    wm = "enc" if per_elem else "nc"
 
     if mesh.manifold_all is not None and mesh.manifold_all.type == "spherical":
         center = mesh.manifold_all.center
@@ -128,7 +142,7 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
         dth = (dth + np.pi) % (2 * np.pi) - np.pi
         pol = pol.copy()
         pol[:, :, 1] = th0 + dth
-        nodes_pol = np.einsum("nc,ecd->end", w, pol)
+        nodes_pol = np.einsum(f"{wm},ecd->end", w, pol)
         return _from_polar(nodes_pol, center)
 
     if mesh.geom_nodes is not None:
@@ -139,10 +153,15 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
         from .basis import TensorBasis
         geom = (mesh.geom_nodes if elem_ids is None
                 else mesh.geom_nodes[np.asarray(elem_ids)])
-        B2, _, _ = TensorBasis(dim, 2).tabulate(ref_nodes)
+        tb = TensorBasis(dim, 2)
+        if per_elem:
+            B2, _, _ = tb.tabulate(ref_nodes.reshape(-1, dim))
+            B2 = B2.reshape(E, nn, -1)
+            return np.einsum("enk,ekd->end", B2, geom)
+        B2, _, _ = tb.tabulate(ref_nodes)
         return np.einsum("nk,ekd->end", B2, geom)
 
-    nodes = np.einsum("nc,ecd->end", w, corner_coords)
+    nodes = np.einsum(f"{wm},ecd->end", w, corner_coords)
 
     # boundary-attached spherical manifolds: TRANSFINITE blending of the
     # curved-face correction into the cell interior (deal.II's
@@ -157,36 +176,46 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
     # at the opposite face the correction vanishes, so neighboring
     # cells/base-cells stay crack-free.
     if mesh.boundary_manifolds:
-        idmap = None
-        if elem_ids is not None:
-            idmap = {int(e): i for i, e in enumerate(elem_ids)}
+        if elem_ids is None:
+            rows_of = None
+        else:
+            # one base cell may own MANY batch rows (vectorized forest
+            # path); group them once
+            eids = np.asarray(elem_ids)
+            rows_of = {}
+            for i, e in enumerate(eids):
+                rows_of.setdefault(int(e), []).append(i)
         for (e, lf, bid) in mesh.boundary_faces:
             man = mesh.boundary_manifolds.get(int(bid))
             if man is None or man.type != "spherical":
                 continue
-            row = int(e) if idmap is None else idmap.get(int(e))
-            if row is None:
+            rows = ([int(e)] if rows_of is None
+                    else rows_of.get(int(e), []))
+            if not rows:
                 continue
+            rows = np.asarray(rows)
             axis, side = divmod(int(lf), 2)
             target = 1.0 if side else 0.0
-            ref_f = ref_nodes.copy()
-            ref_f[:, axis] = target
-            wf = np.ones((nn, nc))
-            for c in range(nc):
-                for dd in range(dim):
-                    bit = (c >> dd) & 1
-                    wf[:, c] *= (ref_f[:, dd] if bit
-                                 else (1.0 - ref_f[:, dd]))
-            foot = wf @ corner_coords[row]               # [nn, d]
+            ref_r = (ref_nodes[rows] if per_elem
+                     else np.broadcast_to(
+                         ref_nodes, (len(rows), nn, dim))).copy()
+            ref_r[..., axis] = target
+            wf = _multilinear_weights(ref_r, nc, dim)   # [R, nn, nc]
+            cc_r = corner_coords[rows]                  # [R, nc, d]
+            foot = np.einsum("rnc,rcd->rnd", wf, cc_r)
             rel = foot - man.center
             rad = np.linalg.norm(rel, axis=-1, keepdims=True)
             c_sel = [c for c in range(nc) if ((c >> axis) & 1) == side]
             r_target = np.mean(np.linalg.norm(
-                corner_coords[row, c_sel] - man.center, axis=-1))
+                cc_r[:, c_sel] - man.center, axis=-1),
+                axis=1)                                 # [R]
             delta = man.center + rel / np.maximum(rad, 1e-300) \
-                * r_target - foot
-            blend = 1.0 - np.abs(ref_nodes[:, axis] - target)
-            nodes[row] = nodes[row] + blend[:, None] * delta
+                * r_target[:, None, None] - foot
+            ref_ax = (ref_nodes[rows][..., axis] if per_elem
+                      else np.broadcast_to(ref_nodes[:, axis],
+                                           (len(rows), nn)))
+            blend = 1.0 - np.abs(ref_ax - target)
+            nodes[rows] = nodes[rows] + blend[..., None] * delta
     return nodes
 
 

@@ -260,11 +260,26 @@ class ShardedGLSSolver:
         elif precond == "gmg":
             self.precond_kind = "block_jacobi"
 
+        # per-shard element sizes for device-resident CFL (same h
+        # definition as the kernel's tau; padding elements are unit
+        # reference cells, masked by elem_valid)
+        import math as _math
+        Jh = np.einsum("peni,qnj->peqij", L.xe, np.asarray(G))
+        detJh = np.linalg.det(Jh)
+        volh = np.einsum("peq,q->pe", detJh, np.asarray(wts))
+        if space.dim == 2:
+            h_el = np.sqrt(4.0 * np.abs(volh) / _math.pi) / space.degree
+        else:
+            h_el = np.cbrt(6.0 * np.abs(volh) / _math.pi) / space.degree
+        C["cfl_h"] = jnp.asarray(np.maximum(h_el, 1e-30), dtype)
+        self._B_dev = jnp.asarray(B, dtype)
+
         self._C = C
         self._spec_C = {k: P(AXIS) for k in C}
         raw = self._build_step()
         self._step_jit = jax.jit(raw)
         self._tstep_jit = jax.jit(self._build_transient_step(raw))
+        self._cfl_jit = jax.jit(self._build_cfl())
 
         def step(u_stack, combo_stack, mask_stack, vals_stack, t, alpha0,
                  sdt):
@@ -873,6 +888,72 @@ class ShardedGLSSolver:
         return tstep
 
     # ------------------------------------------------------------------
+    def _build_cfl(self):
+        """Sharded max |u_q| / h over elements (for CFL-adaptive dt:
+        one pmax scalar leaves the device per step, nothing else)."""
+        B = self._B_dev
+        nn, d = self.nn, self.dim
+
+        def local_cfl(u, C):
+            C = {k: v[0] for k, v in C.items()}
+            u = u[0]
+            en_t = C["en_t"]
+            ue = jnp.stack([u[en_t[n], :d].T for n in range(nn)])
+            uq = jnp.einsum("qn,ndE->qdE", B, ue)
+            speed = jnp.sqrt(jnp.sum(uq * uq, axis=1))       # [q, E]
+            val = jnp.max(speed / C["cfl_h"][None, :]
+                          * C["elem_valid"][None, :])
+            return lax.pmax(val, AXIS)[None]
+
+        return shard_map(
+            local_cfl, self.mesh,
+            in_specs=(P(AXIS), self._spec_C), out_specs=P(AXIS))
+
+    def cfl(self, u_stack, dt: float) -> float:
+        """CFL number of the stacked state at step size dt."""
+        v = self._cfl_jit(u_stack, self._C)
+        return float(np.asarray(v)[0]) * dt
+
+    def bdf_step(self, u_stack, prevs_stack, t: float, dts, order: int):
+        """One variable-dt BDF step on stacked device state.  Returns
+        (u_new, prevs_new, res_history, n_iterations, linear_iters)."""
+        from ..core.bdf import bdf_coefficients
+        eff = max(1, min(int(order), 3))
+        a = np.asarray(bdf_coefficients(eff, list(dts)[:eff]))
+        alphas = np.zeros(4)
+        alphas[:eff + 1] = a
+        return self._tstep(
+            u_stack, prevs_stack, self._mask_stack, self._zero_vals,
+            jnp.asarray(t, self.dtype), jnp.asarray(alphas, self.dtype),
+            jnp.asarray(1.0 / dts[0], self.dtype))
+
+    def sdirk_step(self, u_stack, t_old: float, dt: float, order: int):
+        """One SDIRK22/SDIRK33 step on stacked device state (stage
+        sequencing identical to the single-device engine,
+        solvers/base.py::solve_sdirk_step)."""
+        from ..core.sdirk import sdirk_coefficients
+        table = sdirk_coefficients(order, dt)
+        A = table[:, :order]
+        c = table[:, order]
+        d = self.dim
+        u_n = u_stack
+        u = u_stack
+        ks = []
+        hist = iters = lin = None
+        for s_i in range(order):
+            gamma = float(A[s_i, s_i])
+            alpha0 = 1.0 / (dt * gamma)
+            combo = -u_n[..., :d] * alpha0
+            for j in range(s_i):
+                combo = combo - (float(A[s_i, j]) / gamma) * ks[j]
+            t_stage = t_old + float(c[s_i]) * dt
+            u_s, hist, iters, lin = self.solve_local(
+                u, combo, t=t_stage, alpha0=alpha0, sdt=1.0 / dt)
+            ks.append(alpha0 * u_s[..., :d] + combo)
+            u = u_s
+        return u, hist, iters, lin
+
+    # ------------------------------------------------------------------
     # host-facing API
     # ------------------------------------------------------------------
     def to_local(self, u_global):
@@ -994,15 +1075,7 @@ class ShardedGLSSolver:
                             and order >= 2) else 0)
 
         def substep(u, prevs, t, dts, eff):
-            eff = max(1, min(eff, 3))
-            a = np.asarray(bdf_coefficients(eff, dts[:eff]))
-            alphas = np.zeros(4)
-            alphas[:eff + 1] = a
-            return self._tstep(
-                u, prevs, self._mask_stack, self._zero_vals,
-                jnp.asarray(t, self.dtype),
-                jnp.asarray(alphas, self.dtype),
-                jnp.asarray(1.0 / dts[0], self.dtype))
+            return self.bdf_step(u, prevs, t, dts, eff)
 
         for k in range(n_steps):
             t = t0 + (k + 1) * dt

@@ -119,3 +119,29 @@ def test_golden_mms_bdf2_multidevice(tmp_path):
     must match the single-device golden within the numdiff band."""
     out = run_deck("mms_bdf2_np8", 2, tmp_path, n_shards=8)
     check_golden("mms_bdf2_np8", 2, tmp_path, out=out)
+
+
+def test_golden_sdirk_multidevice(tmp_path):
+    """SDIRK22 stages through the sharded CLI loop: 8-device output ==
+    1-device output (stage sequencing + time-dependent BC parity)."""
+    out1 = run_deck("sdirk_np8", 2, tmp_path)
+    out8 = run_deck("sdirk_np8", 2, tmp_path, n_shards=8)
+    numdiff(out8, out1, rtol=1e-5, atol=1e-9)
+
+
+def test_golden_adaptive_dt_multidevice(tmp_path):
+    """CFL-adaptive dt in the sharded CLI: the dt sequence is driven by
+    the device-resident sharded CFL reduction, so matching per-step L2
+    errors mean the 8-device dt trajectory equals the 1-device one."""
+    out1 = run_deck("adaptive_np8", 2, tmp_path)
+    out8 = run_deck("adaptive_np8", 2, tmp_path, n_shards=8)
+    numdiff(out8, out1, rtol=1e-5, atol=1e-9)
+
+
+def test_golden_kelly_transient_multidevice(tmp_path):
+    """Transient Kelly adaptation through the sharded CLI (gather ->
+    adapt -> rebuild sharded solver on the adapted forest, with hanging
+    constraints inside the SPMD step): 4-device forces == 1-device."""
+    out1 = run_deck("kelly_np4", 2, tmp_path)
+    out4 = run_deck("kelly_np4", 2, tmp_path, n_shards=4)
+    numdiff(out4, out1, rtol=2e-3, atol=1e-7)
