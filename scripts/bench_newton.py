@@ -162,9 +162,15 @@ def main() -> int:
         "metric": "sec_per_newton_step",
         "value": round(step_s, 3),
         "unit": "s",
+        "backend": jax.default_backend(),
         "n_dofs": n_dofs,
         "gmres_iters": nlin,
         "sec_per_gmres_iter": round(step_s / max(nlin, 1), 5),
+        # the north-star comparison normalizes per DoF per GMRES iter
+        # so a feasible-size CPU run (JAX_PLATFORMS=cpu BENCH_N=48)
+        # scales honestly against the 10M-DoF TPU run
+        "ns_per_dof_per_gmres_iter": round(
+            step_s / max(nlin, 1) / n_dofs * 1e9, 3),
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(out))

@@ -9,6 +9,10 @@ min-u comparison (Ghia: u_min ~ -0.3273 on the vertical centerline).
 
 import json
 import os
+
+# one device program per Newton iteration: the axon TPU relay kills
+# single programs at ~60 s (scripts/probe_tpu_fault.py)
+os.environ.setdefault("SOFTX_NEWTON_CHUNK", "1")
 import sys
 import time
 
@@ -88,6 +92,9 @@ prm = SimulationParameters.from_text(DECK.format(n=N), dim=2)
 # CAV_PRECOND=block_jacobi works around a TPU-runtime fault observed
 # with the 2D GMG program at >= 256^2 (docs/VALIDATION.md)
 prm.linear_solver.preconditioner = os.environ.get("CAV_PRECOND", "auto")
+ORDER = int(os.environ.get("CAV_ORDER", "1"))
+prm.fem.velocity_order = ORDER
+prm.fem.pressure_order = ORDER
 t0 = time.time()
 s = GLSNavierStokesSolver(prm)
 print(f"elements={s.space.n_elements} dofs={s.space.n_dofs(3)} "
@@ -102,7 +109,8 @@ sel = np.nonzero(np.abs(nodes[:, 0] - 0.5) < 1e-12)[0]
 order = np.argsort(nodes[sel, 1])
 y = nodes[sel[order], 1]
 ux = un[sel[order], 0]
-np.savetxt(f"/root/repo/docs/cavity{N}_centerline.dat",
+tag = f"{N}" if ORDER == 1 else f"{N}q{ORDER}"
+np.savetxt(f"/root/repo/docs/cavity{tag}_centerline.dat",
            np.column_stack([y, ux]), header="y u")
 
 u_at_ghia = np.interp(GHIA_Y, y, ux)

@@ -9,6 +9,10 @@ Umean = 2/3 * 1.5 = 1.0.
 
 import json
 import os
+
+# one device program per Newton iteration: the axon TPU relay kills
+# single programs at ~60 s (scripts/probe_tpu_fault.py)
+os.environ.setdefault("SOFTX_NEWTON_CHUNK", "1")
 import sys
 import time
 

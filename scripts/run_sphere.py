@@ -10,6 +10,10 @@ steady solves on an N-device mesh).
 import json
 import math
 import os
+
+# one device program per Newton iteration: the axon TPU relay kills
+# single programs at ~60 s (scripts/probe_tpu_fault.py)
+os.environ.setdefault("SOFTX_NEWTON_CHUNK", "1")
 import sys
 import time
 

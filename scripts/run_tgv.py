@@ -11,6 +11,10 @@ nu * <grad u : grad u> (the resolved viscous dissipation).
 
 import json
 import os
+
+# one device program per Newton iteration: the axon TPU relay kills
+# single programs at ~60 s (scripts/probe_tpu_fault.py)
+os.environ.setdefault("SOFTX_NEWTON_CHUNK", "1")
 import sys
 import time
 
@@ -44,6 +48,11 @@ prm.mesh.grid_arguments = (f"{N}, {N}, {N} : 0, 0, 0 : "
 prm.restart.checkpoint = False
 for blk in (prm.nonlinear_solver, prm.linear_solver):
     blk.verbosity = type(blk.verbosity)("quiet")
+# >= 96^3 the GMG level temps/literals blow HBM (SoA [q,c,d,E] arrays
+# tile-pad 42x on TPU — docs/tgv96_run.log); BDF2 at CFL<1 is
+# mass-dominated, so block-Jacobi converges in similar iterations
+prm.linear_solver.preconditioner = os.environ.get(
+    "TGV_PRECOND", "block_jacobi" if N >= 96 else "auto")
 
 s = GLSNavierStokesSolver(prm)
 print(f"elements={s.space.n_elements} dofs={s.space.n_dofs(4)} "

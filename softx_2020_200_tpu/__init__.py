@@ -21,3 +21,34 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache, on by default.
+
+    The single-core host in the target environment compiles even
+    trivial eager ops in ~10 s; caching across processes cuts repeat
+    CLI/test startup by an order of magnitude.  Opt out with
+    ``SOFTX_NO_COMPILE_CACHE=1`` or point ``JAX_COMPILATION_CACHE_DIR``
+    elsewhere (jax's own env var wins if the user set it).
+    """
+    if _os.environ.get("SOFTX_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return  # user already configured jax directly
+        cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "softx_2020_200_tpu",
+            "xla_cache")
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

@@ -189,7 +189,7 @@ class GLSNavierStokesSolver:
                 self.newton_cfg = _dc.replace(self.newton_cfg,
                                               flexible=True)
 
-        self._solve_jit = jax.jit(self._solve_impl)
+        self._rejit()
         self._zero_prev = jnp.zeros((self.space.n_nodes, self.dim))
         # all large arrays reach the jitted solve as ARGUMENTS (XLA embeds
         # closure arrays as literals -> O(N) HLO text, catastrophic
@@ -210,17 +210,23 @@ class GLSNavierStokesSolver:
         f = self.source.spatial(qpts, t)
         return f[..., :self.dim]
 
-    def _solve_impl(self, u0, uprev_combo, t, alpha0, sdt, C):
-        """One nonlinear solve (steady: alpha0=sdt=0). Fully jitted;
-        C carries every large constant array (see setup())."""
+    def _make_problem(self, uprev_combo, t, alpha0, sdt, C):
+        """(constrain, residual, precond_builder, mask, fq) for one
+        nonlinear solve — shared by the fused jit driver
+        (``_solve_impl``) and the host-chunked driver
+        (``_newton_chunked``)."""
         op, bh, hc = self.op, self.bh, self.hc
         mask = C["bc_mask"]
         if hc.n:
             # constrained (hanging) dofs act like extra Dirichlet rows
             # for masking/preconditioning purposes
             mask = mask | jnp.zeros_like(mask).at[hc.ids].set(True)
-        u0 = bh.constrain(u0, t, mask=C["bc_mask"], node_coords=C["nodes"])
-        u0 = bh.slip_project(hc.distribute(u0))
+
+        def constrain(u0):
+            u0 = bh.constrain(u0, t, mask=C["bc_mask"],
+                              node_coords=C["nodes"])
+            return bh.slip_project(hc.distribute(u0))
+
         fq = self._source_at(t, qpts=C["qpts_phys"])
 
         def residual(u):
@@ -248,6 +254,16 @@ class GLSNavierStokesSolver:
                 op.nn, op.nc, inv_mult=op.inv_mult, bc_mask=mask,
                 amap=op.amap)
             return P.apply
+
+        return constrain, residual, precond_builder, mask, fq
+
+    def _solve_impl(self, u0, uprev_combo, t, alpha0, sdt, C):
+        """One nonlinear solve (steady: alpha0=sdt=0). Fully jitted;
+        C carries every large constant array (see setup())."""
+        op, bh, hc = self.op, self.bh, self.hc
+        constrain, residual, precond_builder, mask, fq = \
+            self._make_problem(uprev_combo, t, alpha0, sdt, C)
+        u0 = constrain(u0)
 
         # skip-Newton (reference SkipNewtonNonLinearSolver): carry the
         # preconditioner state and rebuild it every `skip iterations`
@@ -279,6 +295,112 @@ class GLSNavierStokesSolver:
         return res
 
     # ------------------------------------------------------------------
+    # Host-chunked Newton.  The fused driver above runs the WHOLE
+    # Newton solve as one device program (zero host sync — the
+    # BASELINE north star).  Some TPU runtimes bound single-program
+    # wall time (the axon relay kills programs at ~60 s,
+    # scripts/probe_tpu_fault.py); the chunked driver issues ONE
+    # device program per Newton iteration instead, with one host sync
+    # between iterations, so large validation runs complete.  Same
+    # math, same kernels — only the loop lives on host.
+    def _rejit(self):
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._chunk_init_jit = jax.jit(self._chunk_init_impl)
+        self._chunk_cycle_jit = jax.jit(self._chunk_cycle_impl)
+        self._chunk_update_jit = jax.jit(self._chunk_update_impl)
+
+    def _chunk_init_impl(self, u0, uprev_combo, t, alpha0, sdt, C):
+        constrain, residual, _, _, _ = self._make_problem(
+            uprev_combo, t, alpha0, sdt, C)
+        u0 = constrain(u0)
+        R = residual(u0)
+        return u0, R, jnp.sqrt(jnp.sum(R * R))
+
+    def _chunk_cycle_impl(self, u, R, x, atol, uprev_combo, t, alpha0,
+                          sdt, C):
+        from .newton import newton_linear_cycle
+        _, residual, precond_builder, _, _ = self._make_problem(
+            uprev_combo, t, alpha0, sdt, C)
+        return newton_linear_cycle(residual, u, R, x, atol,
+                                   precond=precond_builder(u),
+                                   config=self.newton_cfg)
+
+    def _chunk_update_impl(self, u, d, rnorm, uprev_combo, t, alpha0,
+                           sdt, C):
+        from .newton import newton_apply_update
+        _, residual, _, _, _ = self._make_problem(
+            uprev_combo, t, alpha0, sdt, C)
+        return newton_apply_update(residual, u, d, rnorm,
+                                   config=self.newton_cfg)
+
+    def _use_chunked_newton(self) -> bool:
+        import os
+        flag = os.environ.get("SOFTX_NEWTON_CHUNK", "")
+        if flag == "1":
+            return True
+        if flag == "0":
+            return False
+        # auto: real-TPU backend + big enough that one fused solve may
+        # exceed the runtime's single-program wall-time bound
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            return False
+        thresh = int(os.environ.get("SOFTX_CHUNK_THRESHOLD", "100000"))
+        n_dofs = self.space.n_nodes * (self.dim + 1)
+        return backend not in ("cpu",) and n_dofs >= thresh
+
+    def _newton_chunked(self, u0, uprev_combo, t, alpha0, sdt):
+        import numpy as _np
+        cfg = self.newton_cfg
+        u, R, rnorm = self._chunk_init_jit(
+            u0, uprev_combo, t, alpha0, sdt, self._consts)
+        hist = _np.full(cfg.max_iterations + 1, _np.nan)
+        alphas = _np.full(cfg.max_iterations, _np.nan)
+        rn = float(rnorm)          # host sync bounds program wall time
+        hist[0] = rn
+        it = lin_total = 0
+        while rn > cfg.tolerance and it < cfg.max_iterations:
+            # linear solve, host-chunked at the restart-cycle level: one
+            # device program per GMRES(m) cycle (<= gmres_restart
+            # matvecs each) so no single program can outlive the
+            # runtime's wall-time bound
+            atol = jnp.asarray(
+                max(cfg.relative_residual * rn, cfg.minimum_residual),
+                u.dtype)
+            x = jnp.zeros(u.size, u.dtype)
+            for _cyc in range(cfg.max_krylov_cycles):
+                x, lrn, j = self._chunk_cycle_jit(
+                    u, R, x, atol, uprev_combo, t, alpha0, sdt,
+                    self._consts)
+                j = int(j)
+                lin_total += j
+                if j == 0 or float(lrn) <= float(atol):
+                    break
+            u, R, rnorm, alpha = self._chunk_update_jit(
+                u, x, rnorm, uprev_combo, t, alpha0, sdt, self._consts)
+            rn = float(rnorm)
+            it += 1
+            hist[it] = rn
+            alphas[it - 1] = float(alpha)
+        if self.hc.n:
+            u = jax.jit(self.hc.distribute)(u)
+        from .newton import NewtonResult
+        return NewtonResult(
+            u=u, res_history=jnp.asarray(hist, u.dtype),
+            n_iterations=jnp.asarray(it),
+            linear_iters=jnp.asarray(lin_total),
+            alphas=jnp.asarray(alphas, u.dtype))
+
+    def _newton(self, u0, uprev_combo, t, alpha0, sdt):
+        """One nonlinear solve via the fused driver (default) or the
+        host-chunked driver (watchdog-bounded runtimes / env)."""
+        if self._use_chunked_newton():
+            return self._newton_chunked(u0, uprev_combo, t, alpha0, sdt)
+        return self._solve_jit(u0, uprev_combo, t, alpha0, sdt,
+                               self._consts)
+
+    # ------------------------------------------------------------------
     def initial_condition(self):
         """set_initial_condition (nodal / none; viscous pre-solve below)."""
         prm = self.prm
@@ -301,13 +423,12 @@ class GLSNavierStokesSolver:
                                   prm.initial_conditions.viscosity,
                                   n_q1d=prm.fem.n_quadrature_points_1d,
                                   stab=op_run.stab)
-            self._solve_jit = jax.jit(self._solve_impl)
-            res = self._solve_jit(self.bh.constrain(u, 0.0),
-                                  self._zero_prev, 0.0, 0.0, 0.0,
-                                  self._consts)
+            self._rejit()
+            res = self._newton(self.bh.constrain(u, 0.0),
+                               self._zero_prev, 0.0, 0.0, 0.0)
             u = res.u
             self.op = op_run
-            self._solve_jit = jax.jit(self._solve_impl)
+            self._rejit()
         return self.bh.constrain(u, 0.0)
 
     # ------------------------------------------------------------------
@@ -353,8 +474,7 @@ class GLSNavierStokesSolver:
         """One steady Newton solve; returns (u, NewtonResult)."""
         if u0 is None:
             u0 = self.initial_condition()
-        res = self._solve_jit(u0, self._zero_prev, 0.0, 0.0, 0.0,
-                              self._consts)
+        res = self._newton(u0, self._zero_prev, 0.0, 0.0, 0.0)
         self._log_newton(res, verbose)
         return res.u, res
 
@@ -384,8 +504,7 @@ class GLSNavierStokesSolver:
             for j in range(s_i):
                 combo = combo - (A[s_i, j] / gamma) * ks[j]
             t_stage = t_old + c[s_i] * dt
-            res = self._solve_jit(u, combo, t_stage, alpha0,
-                                  1.0 / dt, self._consts)
+            res = self._newton(u, combo, t_stage, alpha0, 1.0 / dt)
             self._log_newton(res, verbose)
             u_s = res.u
             k_s = alpha0 * u_s[:, :d] + combo
@@ -404,8 +523,8 @@ class GLSNavierStokesSolver:
         combo = jnp.zeros_like(self._zero_prev)
         for i in range(1, order + 1):
             combo = combo + alpha[i] * previous[i - 1][:, :self.dim]
-        res = self._solve_jit(u, combo, t, float(alpha[0]),
-                              1.0 / float(dts[0]), self._consts)
+        res = self._newton(u, combo, t, float(alpha[0]),
+                           1.0 / float(dts[0]))
         self._log_newton(res, verbose)
         return res.u, res
 

@@ -372,6 +372,23 @@ class GDNavierStokesSolver:
             mask_p[np.asarray(self.hc_p.ids)] = True
         self._mask = jnp.asarray(np.concatenate(
             [mask_v.reshape(-1), mask_p]))
+        # velocity-block GMG (VERDICT r2 #8: the GD analogue of the
+        # reference BlockSchurPreconditioner's ILU/AMG velocity solve)
+        self.precond_kind = prm.linear_solver.resolved_preconditioner()
+        self._mg_builder = None
+        self._mg_levels = None
+        if self.precond_kind == "gmg":
+            from ..ops.gd_multigrid import (build_gd_hierarchy,
+                                            make_gd_vcycle)
+            levels, lconsts = build_gd_hierarchy(self)
+            if len(levels) >= 2:
+                self._mg_levels = levels
+                self._mg_builder = make_gd_vcycle(levels, lconsts)
+                import dataclasses as _dc
+                self.newton_cfg = _dc.replace(self.newton_cfg,
+                                              flexible=True)
+            else:
+                self.precond_kind = "block_jacobi"
         self._solve_jit = jax.jit(self._solve_impl)
 
     # ------------------------------------------------------------------
@@ -424,6 +441,33 @@ class GDNavierStokesSolver:
         mask_v = mask[:op.Nv * d].reshape(op.Nv, d)
 
         def precond_builder(x):
+            if self._mg_builder is not None:
+                # block-TRIANGULAR Schur preconditioner (the reference's
+                # BlockSchurPreconditioner shape): pressure first via the
+                # grad-div Schur approximation, then the velocity V-cycle
+                # on rv - B^T zp
+                v_lin, _ = op.split(self._hc_distribute(x))
+                vcycle = self._mg_builder(v_lin, alpha0)
+                mp = op.pressure_lumped_mass()
+                schur_scale = -(op.nu + op.gamma)
+                lv0 = self._mg_levels[0]
+
+                def apply_mg(r):
+                    rv, rp = op.split(r)
+                    zp = schur_scale * rp / mp
+                    # B^T zp: momentum rows of -(zp, div w)
+                    zpe_t = jnp.transpose(zp[op.conn_p], (1, 0))
+                    zq = jnp.einsum("qn,nE->qE", op.Bp, zpe_t)
+                    g = jnp.einsum("qE,qniE->niE",
+                                   -lv0.scale * zq, lv0.gB)
+                    Bt = scatter_add_elements(
+                        jnp.transpose(g, (2, 0, 1)), op.conn_v, op.Nv,
+                        amap=op.amap_v)
+                    rv2 = jnp.where(mask_v, 0.0, rv - Bt)
+                    zv = jnp.where(mask_v, rv, vcycle(rv2))
+                    return op.join(zv, zp)
+
+                return apply_mg
             blocks = op.velocity_node_blocks(x, vprev_combo, fq,
                                              alpha0, sdt)
             mrow = mask_v.astype(blocks.dtype)

@@ -54,6 +54,76 @@ class NewtonResult(NamedTuple):
     alphas: jax.Array            # line-search alpha per iteration
 
 
+def newton_linear_cycle(residual_fn: Callable, u, R, x, atol, *,
+                        precond: Callable, config: NewtonConfig,
+                        reduce_fn=lambda x: x):
+    """ONE Krylov restart cycle of ``J(u) d = -R`` from iterate ``x``.
+
+    Building block of the host-chunked Newton driver
+    (``solvers/base.py`` ``_newton_chunked``): runtimes that bound
+    single-program wall time (the axon relay kills device programs at
+    60 s — scripts/probe_tpu_fault.py) cannot run a whole Newton
+    iteration (up to ``gmres_restart * max_krylov_cycles`` matvecs) as
+    one program, so the host loops over restart cycles of at most
+    ``gmres_restart`` matvecs each.  ``atol`` is a traced scalar so the
+    per-Newton-iteration tolerance does not retrigger compilation.
+
+    Returns ``(x_new, lin_rnorm, n_matvecs)``; ``n_matvecs == 0`` means
+    the cycle's entry residual was already below ``atol``.
+    """
+    shape = u.shape
+
+    def flat_residual(u_flat):
+        return residual_fn(u_flat.reshape(shape)).reshape(-1)
+
+    # LINEARIZE once per cycle so the per-matvec work is the tangent
+    # kernel alone — jvp per Krylov vector would re-run the primal
+    # residual (kernel + gathers) every application
+    _, matvec = jax.linearize(flat_residual, u.reshape(-1))
+
+    def pre_flat(v_flat):
+        return precond(v_flat.reshape(shape)).reshape(-1)
+
+    if config.method == "bicgstab":
+        return bicgstab(matvec, -R.reshape(-1), x0=x, precond=pre_flat,
+                        max_iters=config.gmres_restart, atol=atol,
+                        reduce_fn=reduce_fn)
+    return gmres(matvec, -R.reshape(-1), x0=x, precond=pre_flat,
+                 m=config.gmres_restart, max_restarts=1, atol=atol,
+                 reduce_fn=reduce_fn, flexible=config.flexible)
+
+
+def newton_apply_update(residual_fn: Callable, u, d_flat, rnorm, *,
+                        config: NewtonConfig, reduce_fn=lambda x: x):
+    """Line search + update for a computed Newton direction.
+
+    The second chunked-driver building block: alpha-halving on
+    ``||R(u + alpha d)||`` (reference NewtonNonLinearSolver semantics).
+    Returns ``(u_new, R_new, rnorm_new, alpha)``.
+    """
+    d = d_flat.reshape(u.shape)
+
+    def norm(Rv):
+        return jnp.sqrt(reduce_fn(jnp.sum(Rv * Rv)))
+
+    R1 = residual_fn(u + d)
+    n1 = norm(R1)
+
+    def ls_cond(s):
+        k, alpha, Rt, nt = s
+        return (nt >= rnorm) & (k < config.max_halvings)
+
+    def ls_body(s):
+        k, alpha, Rt, nt = s
+        alpha = alpha * 0.5
+        Rt = residual_fn(u + alpha * d)
+        return (k + 1, alpha, Rt, norm(Rt))
+
+    k, alpha, Rt, nt = lax.while_loop(
+        ls_cond, ls_body, (0, jnp.asarray(1.0, u.dtype), R1, n1))
+    return u + alpha * d, Rt, nt, alpha
+
+
 def newton_solve(residual_fn: Callable, u0, *,
                  precond_builder: Callable,
                  config: NewtonConfig,

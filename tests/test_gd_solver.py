@@ -508,3 +508,81 @@ def test_gd_kelly_checkpoint_restart(tmp_path):
     x2 = s2.solve()
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x_full),
                                atol=1e-8)
+
+
+GD_CAVITY = """
+subsection simulation control
+  set method = steady
+end
+subsection physical properties
+  set kinematic viscosity = 0.05
+end
+subsection FEM
+  set pressure order = 1
+end
+subsection mesh
+  set type = dealii
+  set grid type = hyper_cube
+  set grid arguments = 0 : 1 : true
+  set initial refinement = {refine}
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = noslip
+  end
+  subsection bc 1
+    set id = 1
+    set type = noslip
+  end
+  subsection bc 2
+    set id = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id = 3
+    set type = function
+    subsection u
+      set Function expression = 1
+    end
+  end
+end
+subsection non-linear solver
+  set verbosity = quiet
+  set tolerance = 1e-8
+  set max iterations = 10
+end
+subsection linear solver
+  set verbosity = quiet
+  set relative residual = 1e-4
+  set minimum residual = 1e-11
+  set max krylov vectors = 100
+  set preconditioner = {precond}
+end
+"""
+
+
+def test_gd_gmg_beats_block_jacobi():
+    """Velocity-block GMG inside the block-triangular Schur
+    preconditioner (the reference BlockSchurPreconditioner's ILU/AMG
+    slot, SURVEY.md section 2.2 gd row) wins on iteration count over
+    node-block Jacobi and reaches the same solution."""
+    results = {}
+    for precond in ("block_jacobi", "gmg"):
+        prm = SimulationParameters.from_text(
+            GD_CAVITY.format(refine=4, precond=precond), dim=2)
+        s = GDNavierStokesSolver(prm)
+        if precond == "gmg":
+            assert s.precond_kind == "gmg", "hierarchy should build"
+            assert len(s._mg_levels) >= 2
+        x, res = s.solve_steady()
+        results[precond] = (np.asarray(x), int(res.linear_iters))
+    x_bj, it_bj = results["block_jacobi"]
+    x_mg, it_mg = results["gmg"]
+    assert it_mg * 2 <= it_bj, (it_mg, it_bj)
+    # same nonlinear solution up to the pressure constant: compare
+    # velocity dofs only
+    nv = s.op.Nv * 2
+    dv = np.abs(x_mg[:nv] - x_bj[:nv]).max()
+    assert dv < 1e-6, dv
