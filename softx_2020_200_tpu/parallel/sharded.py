@@ -280,9 +280,16 @@ class ShardedGLSSolver:
         self._step_jit = jax.jit(raw)
         self._tstep_jit = jax.jit(self._build_transient_step(raw))
         self._cfl_jit = jax.jit(self._build_cfl())
+        self._chunk_jit = {k: jax.jit(f)
+                           for k, f in self._chunk_raw.items()}
 
         def step(u_stack, combo_stack, mask_stack, vals_stack, t, alpha0,
                  sdt):
+            if self._use_chunked():
+                return self.solve_local_chunked(
+                    u_stack, combo_stack, t=float(t),
+                    alpha0=float(alpha0), sdt=float(sdt),
+                    mask_stack=mask_stack, vals_stack=vals_stack)
             return self._step_jit(u_stack, combo_stack, mask_stack,
                                   vals_stack, t, alpha0, sdt,
                                   self._consts_full())
@@ -768,7 +775,10 @@ class ShardedGLSSolver:
             return builder
 
         # -------------------- the sharded local step ------------------
-        def local_step(u, combo, mask, vals0, t, alpha0, sdt, C):
+        def prepare(u, combo, mask, vals0, t, alpha0, sdt, C):
+            """Shared preamble of every sharded Newton program: strip
+            the shard axis, constrain u, evaluate the body force, wire
+            residual/preconditioner closures."""
             # strip the leading size-1 shard axis of P(AXIS) blocks
             mg_rep = C.pop("mg_rep", None)
             C = {k: v[0] for k, v in C.items()}
@@ -825,10 +835,69 @@ class ShardedGLSSolver:
                         return apply_bm(binv, w) * C["owned"][:, None]
                     return apply
 
+            return u, res_fn, precond_builder, finalize, reduce_fn
+
+        def local_step(u, combo, mask, vals0, t, alpha0, sdt, C):
+            u, res_fn, precond_builder, finalize, reduce_fn = prepare(
+                u, combo, mask, vals0, t, alpha0, sdt, C)
             out = newton_solve(res_fn, u, precond_builder=precond_builder,
                                config=cfg, reduce_fn=reduce_fn)
             return (finalize(out.u)[None], out.res_history[None],
                     out.n_iterations[None], out.linear_iters[None])
+
+        # ---- host-chunked variants (watchdog-bounded runtimes): one
+        # device program per Krylov restart cycle / line search, exactly
+        # mirroring solvers/base.py _newton_chunked but under shard_map
+        def local_init(u, combo, mask, vals0, t, alpha0, sdt, C):
+            u, res_fn, _, _, reduce_fn = prepare(
+                u, combo, mask, vals0, t, alpha0, sdt, C)
+            R = res_fn(u)
+            rnorm = jnp.sqrt(reduce_fn(jnp.sum(R * R)))
+            return u[None], R[None], rnorm[None]
+
+        def local_cycle(u, R, x, atol, combo, mask, vals0, t, alpha0,
+                        sdt, C):
+            from ..solvers.newton import newton_linear_cycle
+            u, res_fn, precond_builder, _, reduce_fn = prepare(
+                u, combo, mask, vals0, t, alpha0, sdt, C)
+            x, lrn, j = newton_linear_cycle(
+                res_fn, u, R[0], x[0], atol, config=cfg,
+                precond=precond_builder(u), reduce_fn=reduce_fn)
+            return x[None], lrn[None], j[None]
+
+        def local_update(u, R, x, rnorm, combo, mask, vals0, t, alpha0,
+                         sdt, C):
+            from ..solvers.newton import newton_apply_update
+            u, res_fn, _, _, reduce_fn = prepare(
+                u, combo, mask, vals0, t, alpha0, sdt, C)
+            u, R, rnorm, alpha = newton_apply_update(
+                res_fn, u, x[0], rnorm[0], config=cfg,
+                reduce_fn=reduce_fn)
+            return u[None], R[None], rnorm[None], alpha[None]
+
+        def local_finalize(u, combo, mask, vals0, t, alpha0, sdt, C):
+            u, _, _, finalize, _ = prepare(
+                u, combo, mask, vals0, t, alpha0, sdt, C)
+            return finalize(u)[None]
+
+        state_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(),
+                       self._spec_full())
+        self._chunk_raw = {
+            "init": shard_map(local_init, self.mesh,
+                              in_specs=state_specs,
+                              out_specs=(P(AXIS), P(AXIS), P(AXIS))),
+            "cycle": shard_map(local_cycle, self.mesh,
+                               in_specs=(P(AXIS), P(AXIS), P(AXIS), P())
+                               + state_specs[1:],
+                               out_specs=(P(AXIS), P(AXIS), P(AXIS))),
+            "update": shard_map(local_update, self.mesh,
+                                in_specs=(P(AXIS), P(AXIS), P(AXIS),
+                                          P(AXIS)) + state_specs[1:],
+                                out_specs=(P(AXIS),) * 4),
+            "finalize": shard_map(local_finalize, self.mesh,
+                                  in_specs=state_specs,
+                                  out_specs=P(AXIS)),
+        }
 
         # single residual evaluation (debug/parity checks, norms)
         def local_residual(u, combo, mask, vals0, t, alpha0, sdt, C):
@@ -914,6 +983,24 @@ class ShardedGLSSolver:
         v = self._cfl_jit(u_stack, self._C)
         return float(np.asarray(v)[0]) * dt
 
+    def _use_chunked(self) -> bool:
+        """Same policy as solvers/base.py _use_chunked_newton: chunk on
+        watchdog-bounded TPU runtimes above a DoF threshold, or force
+        with SOFTX_NEWTON_CHUNK=1/0."""
+        import os
+        flag = os.environ.get("SOFTX_NEWTON_CHUNK", "")
+        if flag == "1":
+            return True
+        if flag == "0":
+            return False
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            return False
+        thresh = int(os.environ.get("SOFTX_CHUNK_THRESHOLD", "100000"))
+        n_dofs = self.layout.n_nodes_global * self.nc
+        return backend not in ("cpu",) and n_dofs >= thresh
+
     def bdf_step(self, u_stack, prevs_stack, t: float, dts, order: int):
         """One variable-dt BDF step on stacked device state.  Returns
         (u_new, prevs_new, res_history, n_iterations, linear_iters)."""
@@ -922,6 +1009,17 @@ class ShardedGLSSolver:
         a = np.asarray(bdf_coefficients(eff, list(dts)[:eff]))
         alphas = np.zeros(4)
         alphas[:eff + 1] = a
+        if self._use_chunked():
+            d = self.dim
+            combo = (alphas[1] * prevs_stack[0][..., :d]
+                     + alphas[2] * prevs_stack[1][..., :d]
+                     + alphas[3] * prevs_stack[2][..., :d])
+            u_new, hist, iters, lin = self.solve_local_chunked(
+                u_stack, combo, t=t, alpha0=float(alphas[0]),
+                sdt=1.0 / dts[0])
+            prevs_new = jnp.stack([u_new, prevs_stack[0],
+                                   prevs_stack[1]])
+            return u_new, prevs_new, hist, iters, lin
         return self._tstep(
             u_stack, prevs_stack, self._mask_stack, self._zero_vals,
             jnp.asarray(t, self.dtype), jnp.asarray(alphas, self.dtype),
@@ -1014,6 +1112,53 @@ class ShardedGLSSolver:
                           self._zero_vals, jnp.asarray(t, self.dtype),
                           jnp.asarray(alpha0, self.dtype),
                           jnp.asarray(sdt, self.dtype))
+
+    def solve_local_chunked(self, u_stack, combo_stack, t=0.0,
+                            alpha0=0.0, sdt=0.0, mask_stack=None,
+                            vals_stack=None):
+        """Host-chunked sharded Newton solve: one device program per
+        Krylov restart cycle / line search (same kernels and math as
+        :meth:`solve_local`; for runtimes that bound single-program
+        wall time — see solvers/base.py ``_newton_chunked``).
+
+        Returns ``(u_stack, res_history, n_iterations, linear_iters)``
+        with the same shapes as the fused ``_step``.
+        """
+        cfg = self.newton_cfg
+        Pn = self.n_shards
+        C = self._consts_full()
+        mask = self._mask_stack if mask_stack is None else mask_stack
+        vals = self._zero_vals if vals_stack is None else vals_stack
+        args = (combo_stack, mask, vals,
+                jnp.asarray(t, self.dtype),
+                jnp.asarray(alpha0, self.dtype),
+                jnp.asarray(sdt, self.dtype), C)
+        u, R, rnorm = self._chunk_jit["init"](u_stack, *args)
+        rn = float(np.asarray(rnorm)[0])
+        hist = np.full(cfg.max_iterations + 1, np.nan)
+        hist[0] = rn
+        it = lin_total = 0
+        n_flat = u.shape[-2] * u.shape[-1]
+        while rn > cfg.tolerance and it < cfg.max_iterations:
+            atol = jnp.asarray(
+                max(cfg.relative_residual * rn, cfg.minimum_residual),
+                self.dtype)
+            x = jnp.zeros((Pn, n_flat), self.dtype)
+            for _cyc in range(cfg.max_krylov_cycles):
+                x, lrn, j = self._chunk_jit["cycle"](
+                    u, R, x, atol, *args)
+                j = int(np.asarray(j)[0])
+                lin_total += j
+                if j == 0 or float(np.asarray(lrn)[0]) <= float(atol):
+                    break
+            u, R, rnorm, _alpha = self._chunk_jit["update"](
+                u, R, x, rnorm, *args)
+            rn = float(np.asarray(rnorm)[0])
+            it += 1
+            hist[it] = rn
+        u = self._chunk_jit["finalize"](u, *args)
+        return (u, jnp.asarray(np.tile(hist, (Pn, 1)), self.dtype),
+                jnp.full((Pn,), it), jnp.full((Pn,), lin_total))
 
     def write_checkpoint(self, path, u_stack, prevs_stack, t=0.0,
                          step=0):

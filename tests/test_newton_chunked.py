@@ -104,3 +104,67 @@ def test_chunked_matches_fused_transient(monkeypatch):
     u_f, _ = _run(monkeypatch, chunked=False, method="bdf2", tend=0.15)
     u_c, _ = _run(monkeypatch, chunked=True, method="bdf2", tend=0.15)
     np.testing.assert_allclose(u_c, u_f, atol=1e-10)
+
+
+def test_sharded_chunked_matches_fused(monkeypatch):
+    """ShardedGLSSolver.solve_local_chunked computes the same solve as
+    the fused sharded step (watchdog-bounded-runtime path, VERDICT r3:
+    the 10M-DoF flagship runs sharded AND chunked)."""
+    import jax
+    import jax.numpy as jnp
+    from softx_2020_200_tpu.core.bdf import bdf_coefficients
+    from softx_2020_200_tpu.parallel.sharded import ShardedGLSSolver
+
+    monkeypatch.setenv("SOFTX_NEWTON_CHUNK", "0")
+    prm = SimulationParameters.from_text(
+        CAVITY.format(method="steady", tend=0.1,
+                      precond="block_jacobi"), dim=2)
+    s = GLSNavierStokesSolver(prm)
+    u0 = s.initial_condition()
+    dt = 0.1
+    alpha = bdf_coefficients(1, [dt])
+    combo = np.asarray(alpha[1] * np.asarray(u0)[:, :2])
+
+    sh = ShardedGLSSolver.from_solver(s, devices=jax.devices()[:4])
+    u_f, hist_f, it_f, lin_f = sh.solve(
+        np.asarray(u0), uprev_combo_global=combo,
+        alpha0=float(alpha[0]), sdt=1.0 / dt, t=dt)
+
+    u_loc = sh.to_local(np.asarray(u0))
+    combo_loc = sh.to_local(combo)
+    u_c, hist_c, it_c, lin_c = sh.solve_local_chunked(
+        u_loc, combo_loc, t=dt, alpha0=float(alpha[0]), sdt=1.0 / dt)
+    u_cg = sh.to_global(u_c)
+    assert int(np.asarray(it_c)[0]) == int(it_f)
+    assert int(np.asarray(lin_c)[0]) == int(lin_f)
+    hc = np.asarray(hist_c)[0]
+    np.testing.assert_allclose(hc[np.isfinite(hc)],
+                               np.asarray(hist_f)[np.isfinite(
+                                   np.asarray(hist_f))], rtol=1e-5)
+    np.testing.assert_allclose(u_cg, u_f, atol=1e-10)
+
+
+def test_sharded_bdf_step_chunked_dispatch(monkeypatch):
+    """bdf_step under SOFTX_NEWTON_CHUNK=1 routes through the chunked
+    driver and matches the fused transient step."""
+    import jax
+    import jax.numpy as jnp
+    from softx_2020_200_tpu.parallel.sharded import ShardedGLSSolver
+
+    prm = SimulationParameters.from_text(
+        CAVITY.format(method="steady", tend=0.1,
+                      precond="block_jacobi"), dim=2)
+    s = GLSNavierStokesSolver(prm)
+    u0 = s.initial_condition()
+    sh = ShardedGLSSolver.from_solver(s, devices=jax.devices()[:4])
+    u_loc = sh.to_local(np.asarray(u0))
+    prevs = jnp.stack([u_loc, u_loc, u_loc])
+
+    monkeypatch.setenv("SOFTX_NEWTON_CHUNK", "0")
+    u_f, prevs_f, *_ = sh.bdf_step(u_loc, prevs, 0.1, [0.1], 1)
+    monkeypatch.setenv("SOFTX_NEWTON_CHUNK", "1")
+    u_c, prevs_c, *_ = sh.bdf_step(u_loc, prevs, 0.1, [0.1], 1)
+    np.testing.assert_allclose(sh.to_global(u_c), sh.to_global(u_f),
+                               atol=1e-10)
+    np.testing.assert_allclose(sh.to_global(prevs_c[0]),
+                               sh.to_global(prevs_f[0]), atol=1e-10)
