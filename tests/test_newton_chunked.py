@@ -11,6 +11,8 @@ residual history.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from softx_2020_200_tpu.core.parameters import SimulationParameters
 from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
 

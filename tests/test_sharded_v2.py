@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from softx_2020_200_tpu.core.parameters import SimulationParameters
 from softx_2020_200_tpu.solvers.base import GLSNavierStokesSolver
 from softx_2020_200_tpu.parallel.sharded import ShardedGLSSolver
