@@ -86,14 +86,27 @@ def time_chain(op, args, n_apps=50):
 
 
 def stream_triad(nbytes_f32, n_apps=50):
-    """Speed-of-light probe: a*x + y over arrays totaling ~nbytes."""
+    """Speed-of-light probe: a*reverse(x) + y over ~nbytes of streams.
+
+    A plain elementwise ``w = a*w + y`` chain is useless under XLA: an
+    elementwise self-map of ANY depth fuses into a single one-pass
+    kernel (each element iterated in registers), so the measured
+    "bandwidth" comes out several times HBM peak (observed 4.2 TB/s on
+    the v5e, 5x the 819 GB/s spec — the round-3 first-cut number was
+    invalid).  Two countermeasures here: ``lax.scan`` with
+    ``unroll=1`` so the body is compiled once with a materialized
+    carry, and a ``reverse`` inside the body so consecutive
+    iterations cannot fuse elementwise.
+    """
     n = int(nbytes_f32 / 4 / 3)          # 3 streams: 2 in 1 out
     x = jnp.ones((n,), jnp.float32)
     y = jnp.ones((n,), jnp.float32)
 
     def chain(x, y, n_it):
-        return jax.lax.fori_loop(
-            0, n_it, lambda i, w: 1.0000001 * w + y, x)
+        def body(w, _):
+            return 1.0000001 * w[::-1] + y, None
+        w, _ = jax.lax.scan(body, x, None, length=n_it, unroll=1)
+        return w
 
     step = jax.jit(chain, static_argnums=2)
     n_lo = max(2, n_apps // 10)
