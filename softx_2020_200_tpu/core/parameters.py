@@ -175,11 +175,22 @@ class MeshAdaptationParams:
 class NonLinearSolverParams:
     """subsection 'non-linear solver'."""
     verbosity: Verbosity = Verbosity.verbose
-    solver: str = "newton"       # newton | skip_newton
+    solver: str = "newton"       # newton | skip_newton | pseudo_transient
     tolerance: float = 1e-6
     max_iterations: int = 10
     skip_iterations: int = 1
     max_line_search_halvings: int = 4
+    # pseudo-transient continuation (steady decks): one backward-Euler
+    # Newton iteration per pseudo-step, dt grown by SER
+    # (dt_{k+1} = dt_k * ||R_{k-1}|| / ||R_k||).  Globalizes steady
+    # solves that stall plain Newton (strongly convective cases — the
+    # config-#5 sphere, scripts/diag_sphere_gmg.py) and keeps every
+    # linear system mass-dominated, where the TPU preconditioners are
+    # measured strongest.
+    ptc_initial_dt: float = 0.1
+    ptc_max_steps: int = 200
+    ptc_growth: float = 2.0      # max SER growth per step
+    ptc_max_dt: float = 1e8
 
     def parse(self, deck: ParameterDeck) -> None:
         d = deck.sub("non-linear solver")
@@ -188,6 +199,12 @@ class NonLinearSolverParams:
         self.tolerance = d.get_double("tolerance", self.tolerance)
         self.max_iterations = d.get_int("max iterations", self.max_iterations)
         self.skip_iterations = d.get_int("skip iterations", self.skip_iterations)
+        self.ptc_initial_dt = d.get_double("ptc initial time step",
+                                           self.ptc_initial_dt)
+        self.ptc_max_steps = d.get_int("ptc max steps", self.ptc_max_steps)
+        self.ptc_growth = d.get_double("ptc time step growth",
+                                       self.ptc_growth)
+        self.ptc_max_dt = d.get_double("ptc max time step", self.ptc_max_dt)
 
 
 @dataclass
@@ -211,6 +228,13 @@ class LinearSolverParams:
     amg_smoother_sweeps: int = 2
     amg_smoother_overlap: int = 1
     preconditioner: str = "auto"  # auto | jacobi | block_jacobi | additive_schwarz
+    # GMG smoother (TPU replacement of the reference's ML-AMG smoother
+    # slot): 'auto' = krylov on steady decks (damped Jacobi diverges on
+    # steady convection-dominated levels — scripts/diag_sphere_gmg.py),
+    # jacobi on transient (mass-dominated levels smooth fine and it is
+    # ~krylov_m x cheaper per V-cycle)
+    mg_smoother: str = "auto"     # auto | jacobi | krylov
+    mg_krylov_vectors: int = 4
 
     def parse(self, deck: ParameterDeck) -> None:
         d = deck.sub("linear solver")
@@ -230,6 +254,14 @@ class LinearSolverParams:
         self.amg_smoother_sweeps = d.get_int("amg smoother sweeps", self.amg_smoother_sweeps)
         self.amg_smoother_overlap = d.get_int("amg smoother overlap", self.amg_smoother_overlap)
         self.preconditioner = d.get_str("preconditioner", self.preconditioner)
+        self.mg_smoother = d.get_str("mg smoother", self.mg_smoother)
+        self.mg_krylov_vectors = d.get_int("mg krylov vectors",
+                                           self.mg_krylov_vectors)
+
+    def resolved_mg_smoother(self, steady: bool) -> str:
+        if self.mg_smoother != "auto":
+            return self.mg_smoother
+        return "krylov" if steady else "jacobi"
 
     def resolved_preconditioner(self) -> str:
         if self.preconditioner != "auto":

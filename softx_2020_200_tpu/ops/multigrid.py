@@ -242,9 +242,21 @@ def _hc_ops(mgl):
 
 
 def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
-                coarse_iters: int = 25):
+                coarse_iters: int = 25, smoother: str = "jacobi",
+                krylov_m: int = 4):
     """Return builder(u, uprev, fq, alpha0, sdt, fine_mask, mg) ->
-    apply(v): one V-cycle of the hierarchy, linearized at u."""
+    apply(v): one V-cycle of the hierarchy, linearized at u.
+
+    smoother:
+      'jacobi' — ``n_smooth`` damped node-block-Jacobi sweeps (omega).
+      'krylov' — ``krylov_m`` iterations of node-block-preconditioned
+        GMRES per pre/post smooth.  Damped Jacobi DIVERGES on steady
+        convection-dominated systems (measured: sphere O-grid deck,
+        V-cycle stationary factor rho ~= 2-5, scripts/diag_sphere_gmg.py);
+        a fixed-iteration Krylov smooth is robust on nonsymmetric/
+        indefinite levels at ~krylov_m matvecs per smooth.  The outer
+        Krylov must be FGMRES for either (the bottom solve iterates).
+    """
     n_levels = len(level_ops)
 
     def builder(u, uprev, fq, alpha0, sdt, fine_mask, mg):
@@ -310,25 +322,40 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
             # move residual landing on constrained coarse rows to masters
             return hcs[li][1](out)
 
+        def smooth(level, r, z=None):
+            """One pre/post smoothing application: z ~ A_level^{-1} r."""
+            matvec, sm, mask = mats[level]
+            if smoother == "krylov":
+                x0 = None if z is None else z.reshape(-1)
+                sol, _, _ = gmres(
+                    lambda x: matvec(x.reshape(r.shape)).reshape(-1),
+                    r.reshape(-1), x0=x0,
+                    precond=lambda x: sm(x.reshape(r.shape)).reshape(-1),
+                    m=krylov_m, max_restarts=1, atol=1e-30)
+                return sol.reshape(r.shape)
+            z0 = omega * sm(r) if z is None else z + omega * sm(
+                r - matvec(z))
+            for _ in range(n_smooth - 1):
+                z0 = z0 + omega * sm(r - matvec(z0))
+            return z0
+
         def vcycle(level, r):
-            matvec, smoother, mask = mats[level]
+            matvec, sm, mask = mats[level]
             if level + 1 == n_levels:
                 sol, _, _ = gmres(
                     lambda x: matvec(x.reshape(r.shape)).reshape(-1),
                     r.reshape(-1),
-                    precond=lambda x: smoother(
+                    precond=lambda x: sm(
                         x.reshape(r.shape)).reshape(-1),
                     m=coarse_iters, max_restarts=1, atol=1e-30)
                 return sol.reshape(r.shape)
-            z = omega * smoother(r)
-            for _ in range(n_smooth - 1):
-                z = z + omega * smoother(r - matvec(z))
+            z = smooth(level, r)
             res = r - matvec(z)
             rc = restrict(level + 1, res, level_ops[level + 1].n_nodes)
             rc = jnp.where(mats[level + 1][2], 0.0, rc)
             zc = vcycle(level + 1, rc)
             z = z + jnp.where(mask, 0.0, prolong(level + 1, zc))
-            z = z + omega * smoother(r - matvec(z))
+            z = smooth(level, r, z=z)
             return z
 
         return lambda v: vcycle(0, v)

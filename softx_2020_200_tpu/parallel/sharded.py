@@ -1113,6 +1113,24 @@ class ShardedGLSSolver:
                           jnp.asarray(alpha0, self.dtype),
                           jnp.asarray(sdt, self.dtype))
 
+    def _disable_gmg(self):
+        """Swap a stagnating GMG preconditioner for block-Jacobi and
+        rebuild the jitted steps (same policy/measurement as
+        solvers/base.py ``_gmg_fallback``: on steady strongly convective
+        decks the V-cycle's rediscretized coarse correction amplifies
+        smooth convective modes and FGMRES stagnates, while block-Jacobi
+        converges — scripts/diag_sphere_gmg.py)."""
+        print("linear solver: GMG stagnated (linear budget exhausted); "
+              "falling back to block-Jacobi preconditioning")
+        self._mg_ops = None
+        self._mg_rep = None
+        self.precond_kind = "block_jacobi"
+        raw = self._build_step()
+        self._step_jit = jax.jit(raw)
+        self._tstep_jit = jax.jit(self._build_transient_step(raw))
+        self._chunk_jit = {k: jax.jit(f)
+                           for k, f in self._chunk_raw.items()}
+
     def solve_local_chunked(self, u_stack, combo_stack, t=0.0,
                             alpha0=0.0, sdt=0.0, mask_stack=None,
                             vals_stack=None):
@@ -1151,6 +1169,14 @@ class ShardedGLSSolver:
                 lin_total += j
                 if j == 0 or float(np.asarray(lrn)[0]) <= float(atol):
                     break
+            else:
+                if self._mg_ops is not None:
+                    # budget exhausted without convergence: retry the
+                    # iteration under block-Jacobi
+                    self._disable_gmg()
+                    C = self._consts_full()
+                    args = args[:-1] + (C,)
+                    continue
             u, R, rnorm, _alpha = self._chunk_jit["update"](
                 u, R, x, rnorm, *args)
             rn = float(np.asarray(rnorm)[0])

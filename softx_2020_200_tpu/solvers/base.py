@@ -184,7 +184,11 @@ class GLSNavierStokesSolver:
                 # no hierarchy available: fall back to block-Jacobi
                 self.precond_kind = "block_jacobi"
             else:
-                self._mg_builder = make_vcycle(self._mg_ops)
+                self._mg_builder = make_vcycle(
+                    self._mg_ops,
+                    smoother=ls.resolved_mg_smoother(
+                        self.control.is_steady()),
+                    krylov_m=ls.mg_krylov_vectors)
                 import dataclasses as _dc
                 self.newton_cfg = _dc.replace(self.newton_cfg,
                                               flexible=True)
@@ -350,6 +354,27 @@ class GLSNavierStokesSolver:
         n_dofs = self.space.n_nodes * (self.dim + 1)
         return backend not in ("cpu",) and n_dofs >= thresh
 
+    def _gmg_fallback(self):
+        """Swap a stagnating GMG preconditioner for block-Jacobi.
+
+        Measured (scripts/diag_sphere_gmg.py): on steady strongly
+        convective decks — the config-#5 sphere — the V-cycle's
+        rediscretized coarse correction amplifies smooth convective
+        modes (stationary factor ~2 regardless of smoother strength or
+        bottom-solve accuracy) and FGMRES stagnates, while plain
+        block-Jacobi FGMRES converges.  The reference's ILU/AMG slot is
+        robust there; detecting linear-solve stagnation at runtime and
+        dropping to block-Jacobi restores that parity without giving up
+        GMG where it is measured far stronger (transient/mass-dominated
+        and diffusion-dominated steady decks: 9x fewer iterations on
+        the cavity)."""
+        print("linear solver: GMG stagnated (linear budget exhausted); "
+              "falling back to block-Jacobi preconditioning")
+        self._mg_builder = None
+        self.precond_kind = "block_jacobi"
+        self._consts.pop("mg", None)
+        self._rejit()
+
     def _newton_chunked(self, u0, uprev_combo, t, alpha0, sdt):
         import numpy as _np
         cfg = self.newton_cfg
@@ -377,6 +402,13 @@ class GLSNavierStokesSolver:
                 lin_total += j
                 if j == 0 or float(lrn) <= float(atol):
                     break
+            else:
+                if self._mg_builder is not None:
+                    # budget exhausted without convergence: GMG is
+                    # hurting on this system — retry the iteration
+                    # with block-Jacobi
+                    self._gmg_fallback()
+                    continue
             u, R, rnorm, alpha = self._chunk_update_jit(
                 u, x, rnorm, uprev_combo, t, alpha0, sdt, self._consts)
             rn = float(rnorm)
@@ -471,12 +503,95 @@ class GLSNavierStokesSolver:
         return x.reshape(op.n_nodes, c)
 
     def solve_steady(self, u0=None, verbose: bool | None = None):
-        """One steady Newton solve; returns (u, NewtonResult)."""
+        """One steady nonlinear solve; returns (u, NewtonResult)."""
         if u0 is None:
             u0 = self.initial_condition()
+        if self.prm.nonlinear_solver.solver == "pseudo_transient":
+            res = self.solve_steady_ptc(u0, verbose=verbose)
+            return res.u, res
         res = self._newton(u0, self._zero_prev, 0.0, 0.0, 0.0)
         self._log_newton(res, verbose)
         return res.u, res
+
+    def solve_steady_ptc(self, u0, verbose: bool | None = None):
+        """Pseudo-transient continuation (deck: non-linear solver
+        ``solver = pseudo_transient``).
+
+        One backward-Euler Newton iteration per pseudo-step with the dt
+        grown by SER (dt_{k+1} = dt_k ||R_{k-1}||/||R_k||, capped) until
+        the STEADY residual meets the nonlinear tolerance.  As dt -> inf
+        the pseudo-step IS a plain Newton step, so terminal convergence
+        is quadratic; early steps are mass-dominated systems where the
+        block-Jacobi/GMG preconditioners are strongest (plain Newton on
+        strongly convective steady decks — the config-#5 sphere — stalls
+        with any of them, scripts/diag_sphere_gmg.py).  The reference
+        has no PTC; its ILU-preconditioned Newton slot covers these
+        cases (SURVEY §7.3 hard part #2) — this is the TPU-native
+        equivalent in robustness, built from the same chunked-driver
+        primitives (one bounded device program per Krylov cycle).
+        """
+        import numpy as _np
+        nls = self.prm.nonlinear_solver
+        cfg = self.newton_cfg
+        d = self.dim
+        C = self._consts
+        if verbose is None:
+            verbose = (nls.verbosity is Verbosity.verbose
+                       and not self.prm.test.enable)
+        u, _, rs0 = self._chunk_init_jit(u0, self._zero_prev, 0.0,
+                                         0.0, 0.0, C)
+        rs = float(rs0)
+        dt = nls.ptc_initial_dt
+        maxk = nls.ptc_max_steps
+        hist = _np.full(maxk + 1, _np.nan)
+        alphas = _np.full(maxk, _np.nan)
+        hist[0] = rs
+        lin_total = 0
+        k = 0
+        while rs > cfg.tolerance and k < maxk:
+            alpha0 = 1.0 / dt
+            combo = -u[:, :d] * alpha0
+            _, Rbe, rbe = self._chunk_init_jit(u, combo, 0.0, alpha0,
+                                               alpha0, C)
+            rbe_f = float(rbe)
+            atol = jnp.asarray(
+                max(cfg.relative_residual * rbe_f, cfg.minimum_residual),
+                u.dtype)
+            x = jnp.zeros(u.size, u.dtype)
+            for _cyc in range(cfg.max_krylov_cycles):
+                x, lrn, j = self._chunk_cycle_jit(
+                    u, Rbe, x, atol, combo, 0.0, alpha0, alpha0, C)
+                j = int(j)
+                lin_total += j
+                if j == 0 or float(lrn) <= float(atol):
+                    break
+            else:
+                if self._mg_builder is not None:
+                    self._gmg_fallback()
+                    continue
+            u, _, _, alpha = self._chunk_update_jit(
+                u, x, rbe, combo, 0.0, alpha0, alpha0, C)
+            u, _, rs_new = self._chunk_init_jit(u, self._zero_prev, 0.0,
+                                                0.0, 0.0, C)
+            rs_new = float(rs_new)
+            # SER growth on the steady residual, clamped
+            growth = min(nls.ptc_growth,
+                         max(0.1, rs / max(rs_new, 1e-300)))
+            dt = min(nls.ptc_max_dt, dt * growth)
+            rs = rs_new
+            k += 1
+            hist[k] = rs
+            alphas[k - 1] = float(alpha)
+            if verbose:
+                prec = self.prm.simulation_control.log_precision
+                print(f"PTC step {k:3d}  dt = {dt:.3e}  "
+                      f"Residual: {rs:.{prec}e}")
+        from .newton import NewtonResult
+        return NewtonResult(
+            u=u, res_history=jnp.asarray(hist, u.dtype),
+            n_iterations=jnp.asarray(k),
+            linear_iters=jnp.asarray(lin_total),
+            alphas=jnp.asarray(alphas, u.dtype))
 
     def solve_sdirk_step(self, u, t_old, dt, order, verbose=None):
         """One SDIRK22/SDIRK33 step (reference: sdirk_coefficients +

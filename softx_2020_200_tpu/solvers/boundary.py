@@ -55,10 +55,21 @@ class BoundaryHandler:
                         exprs.append(Expression(bc.w))
                     self.function_entries.append((nodes, exprs))
             elif bc.type == BoundaryType.slip:
-                try:
-                    axis = self._slip_axis(bc.id)
-                    mask[nodes, axis] = True
-                except NotImplementedError:
+                groups = self._slip_axis_groups(bc.id)
+                if groups is not None:
+                    # every face of the boundary is an axis-aligned level
+                    # set (possibly different axes per face, e.g. one id
+                    # covering the y+- AND z+- channel walls): constrain
+                    # the per-face normal component through the plain
+                    # Dirichlet mask.  Critical for the GMG/sharded
+                    # paths, which understand masks but not rotated
+                    # frames — the rotated fallback silently left such
+                    # walls unconstrained in the sharded SPMD solve and
+                    # de-constrained on all GMG coarse levels
+                    # (scripts/diag_sphere_gmg.py, VERDICT r3 Missing #1).
+                    for axis, ax_nodes in groups:
+                        mask[ax_nodes, axis] = True
+                else:
                     # rotated frame: constrain u.n = 0 at nodal normals
                     slip_rotated.append(bc.id)
             elif bc.type == BoundaryType.outlet:
@@ -163,6 +174,35 @@ class BoundaryHandler:
         return blocks.at[s, :d, :d].set(Bs)
 
     # ------------------------------------------------------------------
+    def _slip_axis_groups(self, bid: int):
+        """Per-axis node groups of an everywhere-axis-aligned slip
+        boundary, or None if any face is not a level set of its axis
+        (genuinely curved/rotated boundary -> nodal-normal frames).
+
+        Returns [(axis, node_ids)], one entry per axis present.  A node
+        on two orthogonal walls of the same id (box edge) appears in
+        both groups — both normal components are constrained, which is
+        the correct no-normal-flux condition there.
+        """
+        faces = self.space.boundary_faces.get(bid)
+        if faces is None or len(faces) == 0:
+            return []
+        space = self.space
+        basis = space.basis
+        xe = space.element_coords()
+        nodes_by_axis: dict[int, list] = {}
+        for (e, lf) in faces:
+            axis = int(lf) // 2
+            fn = basis.face_nodes(int(lf))
+            fx = xe[int(e), fn]                          # [nfn, dim]
+            size = max(np.ptp(fx, axis=0).max(), 1e-30)
+            if np.ptp(fx[:, axis]) > 1e-8 * size:
+                return None                              # rotated face
+            nodes_by_axis.setdefault(axis, []).append(
+                space.elem_nodes[int(e), fn])
+        return [(ax, np.unique(np.concatenate(lst)))
+                for ax, lst in sorted(nodes_by_axis.items())]
+
     def _slip_axis(self, bid: int) -> int:
         """Normal axis of an axis-aligned slip boundary.
 

@@ -197,3 +197,130 @@ def test_rotated_slip_annulus():
     assert errs[0] < 5e-3, f"rotated-slip annulus error {errs}"
     rate = np.log2(errs[0] / errs[1])
     assert rate > 2.0, f"rotated-slip convergence rate {rate} ({errs})"
+
+
+def test_multi_axis_slip_resolves_to_masks():
+    """One boundary id covering walls with DIFFERENT normals (y+- and
+    z+- of a 3D channel, the config-#5 sphere deck's id 2) must resolve
+    per-face-axis into plain Dirichlet mask entries, NOT the rotated
+    frame path: the mask is what the GMG coarse levels and the sharded
+    SPMD step consume — the rotated fallback left such walls
+    unconstrained there (round-4 diagnosis, scripts/diag_sphere_gmg.py,
+    sharded-vs-single Cd 0.9124 vs 0.9045 in VERDICT r3)."""
+    deck = """
+subsection simulation control
+  set method = steady
+end
+subsection mesh
+  set type = dealii
+  set grid type = channel_with_sphere
+  set grid arguments = 20.0, 5.0 : 5.0, 0.0, 0.0 : 0.5
+  set initial refinement = 0
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = 1
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = outlet
+  end
+  subsection bc 2
+    set id = 2
+    set type = slip
+  end
+  subsection bc 3
+    set id = 3
+    set type = noslip
+  end
+end
+subsection test
+  set enable = true
+end
+"""
+    prm = SimulationParameters.from_text(deck, dim=3)
+    s = GLSNavierStokesSolver(prm)
+    assert s.bh.n_slip == 0, "axis-aligned multi-axis slip must be masked"
+    m = s.bh.mask_np
+    nodes = np.asarray(s.space.nodes)
+    wy = np.abs(np.abs(nodes[:, 1]) - 5.0) < 1e-9
+    wz = np.abs(np.abs(nodes[:, 2]) - 5.0) < 1e-9
+    assert m[wy, 1].all(), "v must be constrained on the y walls"
+    assert m[wz, 2].all(), "w must be constrained on the z walls"
+    # tangential components stay free away from inlet/outlet/edges
+    interior_y = wy & ~wz & (nodes[:, 0] > 1e-9) \
+        & (nodes[:, 0] < 20 - 1e-9)
+    assert not m[interior_y, 0].any(), "u must stay free on the y walls"
+    assert not m[interior_y, 2].any(), "w must stay free on the y walls"
+
+
+def test_ptc_matches_newton_on_steady_flow():
+    """pseudo_transient (PTC/SER) must reach the same steady solution
+    as plain Newton on a convective steady case."""
+    deck = """
+subsection simulation control
+  set method = steady
+end
+subsection physical properties
+  set kinematic viscosity = 0.05
+end
+subsection mesh
+  set type = dealii
+  set grid type = hyper_cube
+  set grid arguments = 0 : 1 : true
+  set initial refinement = 3
+end
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = function
+    subsection u
+      set Function expression = 1
+    end
+  end
+  subsection bc 1
+    set id = 1
+    set type = outlet
+  end
+  subsection bc 2
+    set id = 2
+    set type = slip
+  end
+  subsection bc 3
+    set id = 3
+    set type = slip
+  end
+end
+subsection non-linear solver
+  set tolerance = 1e-10
+  set verbosity = quiet
+  set solver = {solver}
+end
+subsection linear solver
+  set relative residual = 1e-6
+  set minimum residual = 1e-13
+end
+subsection test
+  set enable = true
+end
+"""
+    prm_n = SimulationParameters.from_text(
+        deck.format(solver="newton"), dim=2)
+    sn = GLSNavierStokesSolver(prm_n)
+    un, _ = sn.solve_steady(verbose=False)
+
+    prm_p = SimulationParameters.from_text(
+        deck.format(solver="pseudo_transient"), dim=2)
+    sp = GLSNavierStokesSolver(prm_p)
+    res = sp.solve_steady_ptc(sp.initial_condition(), verbose=False)
+    import numpy as _np
+    h = _np.asarray(res.res_history)
+    h = h[_np.isfinite(h)]
+    assert h[-1] < 1e-10, f"PTC did not converge: {h[-5:]}"
+    assert _np.abs(_np.asarray(un) - _np.asarray(res.u)).max() < 1e-8
