@@ -55,6 +55,8 @@ prm.mesh_adaptation.fraction_refinement = float(
     os.environ.get("SPH_FRAC", "0.2"))
 prm.mesh_adaptation.fraction_coarsening = 0.0
 prm.linear_solver.preconditioner = os.environ.get("SPH_PRECOND", "gmg")
+prm.nonlinear_solver.max_iterations = int(
+    os.environ.get("SPH_MAXNEWTON", "20"))
 prm.forces.calculate_forces = False
 prm.restart.checkpoint = False
 for blk in (prm.nonlinear_solver, prm.linear_solver):

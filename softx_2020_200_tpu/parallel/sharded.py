@@ -880,6 +880,52 @@ class ShardedGLSSolver:
                 u, combo, mask, vals0, t, alpha0, sdt, C)
             return finalize(u)[None]
 
+        # node-block preconditioner STATE programs: the chunked driver
+        # builds the (expensive) jvp-probe block inverses ONCE per
+        # Newton iteration and threads them through every restart
+        # cycle, instead of rebuilding inside each cycle program
+        def local_pstate(u, combo, mask, vals0, t, alpha0, sdt, C):
+            C.pop("mg_rep", None)
+            C = {k: v[0] for k, v in C.items()}
+            u, combo, mask, vals0 = u[0], combo[0], mask[0], vals0[0]
+            _, node_block_inv, _ = make_local_fns(C)
+            vals = vals0
+            for bi, exprs in enumerate(bc_exprs):
+                slots = C[f"bc_slots{bi}"]
+                pts = C["coords"][slots]
+                for ci, e in enumerate(exprs):
+                    vals = vals.at[slots, ci].set(
+                        e.spatial(pts, t).astype(vals.dtype))
+            vals = vals.at[trash].set(0.0)
+            u = jnp.where(mask, vals, u)
+            qb = C["qpts_bm"]
+            E_l = qb.shape[-1] // n_q
+            if source_fn is not None:
+                f = source_fn(qb.T, t).astype(dtype)
+                fq = jnp.transpose(f.T.reshape(d, n_q, E_l), (1, 0, 2))
+            else:
+                fq = jnp.zeros((n_q, d, E_l), dtype)
+            return node_block_inv(u, mask, combo, fq, alpha0, sdt)[None]
+
+        def local_cycle_state(u, R, x, atol, binv, combo, mask, vals0,
+                              t, alpha0, sdt, C):
+            from ..solvers.newton import newton_linear_cycle
+            from ..ops.smallmat import apply_bm
+            owned = C["owned"][0]
+            u, res_fn, _, _, reduce_fn = prepare(
+                u, combo, mask, vals0, t, alpha0, sdt, C)
+            binv = binv[0]
+            if precond_kind == "jacobi":
+                dinv = jnp.stack([binv[i, i] for i in range(nc)],
+                                 axis=-1)
+                pre = lambda w: w * dinv * owned[:, None]
+            else:
+                pre = lambda w: apply_bm(binv, w) * owned[:, None]
+            x, lrn, j = newton_linear_cycle(
+                res_fn, u, R[0], x[0], atol, config=cfg,
+                precond=pre, reduce_fn=reduce_fn)
+            return x[None], lrn[None], j[None]
+
         state_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(),
                        self._spec_full())
         self._chunk_raw = {
@@ -890,6 +936,14 @@ class ShardedGLSSolver:
                                in_specs=(P(AXIS), P(AXIS), P(AXIS), P())
                                + state_specs[1:],
                                out_specs=(P(AXIS), P(AXIS), P(AXIS))),
+            "pstate": shard_map(local_pstate, self.mesh,
+                                in_specs=state_specs,
+                                out_specs=P(AXIS)),
+            "cycle_state": shard_map(
+                local_cycle_state, self.mesh,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS))
+                + state_specs[1:],
+                out_specs=(P(AXIS), P(AXIS), P(AXIS))),
             "update": shard_map(local_update, self.mesh,
                                 in_specs=(P(AXIS), P(AXIS), P(AXIS),
                                           P(AXIS)) + state_specs[1:],
@@ -999,7 +1053,9 @@ class ShardedGLSSolver:
             return False
         thresh = int(os.environ.get("SOFTX_CHUNK_THRESHOLD", "100000"))
         n_dofs = self.layout.n_nodes_global * self.nc
-        return backend not in ("cpu",) and n_dofs >= thresh
+        # watchdog-bounded single programs are a TPU-relay property;
+        # other backends keep the fused zero-host-sync driver
+        return backend == "tpu" and n_dofs >= thresh
 
     def bdf_step(self, u_stack, prevs_stack, t: float, dts, order: int):
         """One variable-dt BDF step on stacked device state.  Returns
@@ -1162,9 +1218,19 @@ class ShardedGLSSolver:
                 max(cfg.relative_residual * rn, cfg.minimum_residual),
                 self.dtype)
             x = jnp.zeros((Pn, n_flat), self.dtype)
+            # node-block kinds: build the block inverses once per
+            # Newton iteration, thread them through the cycles
+            use_pstate = (self._mg_ops is None and self.precond_kind
+                          in ("jacobi", "block_jacobi"))
+            if use_pstate:
+                binv = self._chunk_jit["pstate"](u, *args)
             for _cyc in range(cfg.max_krylov_cycles):
-                x, lrn, j = self._chunk_jit["cycle"](
-                    u, R, x, atol, *args)
+                if use_pstate:
+                    x, lrn, j = self._chunk_jit["cycle_state"](
+                        u, R, x, atol, binv, *args)
+                else:
+                    x, lrn, j = self._chunk_jit["cycle"](
+                        u, R, x, atol, *args)
                 j = int(np.asarray(j)[0])
                 lin_total += j
                 if j == 0 or float(np.asarray(lrn)[0]) <= float(atol):

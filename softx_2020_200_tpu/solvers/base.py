@@ -312,6 +312,37 @@ class GLSNavierStokesSolver:
         self._chunk_init_jit = jax.jit(self._chunk_init_impl)
         self._chunk_cycle_jit = jax.jit(self._chunk_cycle_impl)
         self._chunk_update_jit = jax.jit(self._chunk_update_impl)
+        self._chunk_pstate_jit = jax.jit(self._chunk_pstate_impl)
+        self._chunk_cycle_state_jit = jax.jit(self._chunk_cycle_state_impl)
+
+    def _chunk_has_pstate(self) -> bool:
+        """Pure-array preconditioner state exists for the node-block
+        kinds (not GMG/Schwarz): lets the chunked driver build the
+        preconditioner ONCE per Newton iteration instead of once per
+        Krylov restart cycle, and carry it across iterations under
+        skip-Newton."""
+        return (self._mg_builder is None
+                and self.precond_kind in ("jacobi", "block_jacobi"))
+
+    def _chunk_pstate_impl(self, u, uprev_combo, t, alpha0, sdt, C):
+        from ..ops.preconditioners import node_blocks_to_state
+        _, _, _, mask, fq = self._make_problem(
+            uprev_combo, t, alpha0, sdt, C)
+        blocks = self.op.node_blocks(self.hc.distribute(u), mask,
+                                     uprev_combo, fq, alpha0, sdt, C=C)
+        blocks = self.bh.slip_project_blocks(blocks)
+        return node_blocks_to_state(self.precond_kind, blocks, mask)
+
+    def _chunk_cycle_state_impl(self, u, R, x, atol, pstate,
+                                uprev_combo, t, alpha0, sdt, C):
+        from .newton import newton_linear_cycle
+        from ..ops.preconditioners import apply_node_block_state
+        _, residual, _, _, _ = self._make_problem(
+            uprev_combo, t, alpha0, sdt, C)
+        return newton_linear_cycle(
+            residual, u, R, x, atol,
+            precond=lambda v: apply_node_block_state(pstate, v),
+            config=self.newton_cfg)
 
     def _chunk_init_impl(self, u0, uprev_combo, t, alpha0, sdt, C):
         constrain, residual, _, _, _ = self._make_problem(
@@ -345,14 +376,16 @@ class GLSNavierStokesSolver:
         if flag == "0":
             return False
         # auto: real-TPU backend + big enough that one fused solve may
-        # exceed the runtime's single-program wall-time bound
+        # exceed the runtime's single-program wall-time bound.  The
+        # watchdog is a TPU-relay property; GPUs and other backends keep
+        # the zero-host-sync fused driver unless forced by env.
         try:
             backend = jax.default_backend()
         except Exception:
             return False
         thresh = int(os.environ.get("SOFTX_CHUNK_THRESHOLD", "100000"))
         n_dofs = self.space.n_nodes * (self.dim + 1)
-        return backend not in ("cpu",) and n_dofs >= thresh
+        return backend == "tpu" and n_dofs >= thresh
 
     def _gmg_fallback(self):
         """Swap a stagnating GMG preconditioner for block-Jacobi.
@@ -385,6 +418,14 @@ class GLSNavierStokesSolver:
         rn = float(rnorm)          # host sync bounds program wall time
         hist[0] = rn
         it = lin_total = 0
+        # node-block preconditioner state: built once per Newton
+        # iteration (not per Krylov cycle); under skip_newton rebuilt
+        # only every `skip iterations` (reference
+        # SkipNewtonNonLinearSolver semantics)
+        pstate = None
+        skip = (max(1, cfg.skip_iterations)
+                if self.prm.nonlinear_solver.solver == "skip_newton"
+                else 1)
         while rn > cfg.tolerance and it < cfg.max_iterations:
             # linear solve, host-chunked at the restart-cycle level: one
             # device program per GMRES(m) cycle (<= gmres_restart
@@ -394,10 +435,19 @@ class GLSNavierStokesSolver:
                 max(cfg.relative_residual * rn, cfg.minimum_residual),
                 u.dtype)
             x = jnp.zeros(u.size, u.dtype)
+            use_pstate = self._chunk_has_pstate()
+            if use_pstate and (pstate is None or it % skip == 0):
+                pstate = self._chunk_pstate_jit(
+                    u, uprev_combo, t, alpha0, sdt, self._consts)
             for _cyc in range(cfg.max_krylov_cycles):
-                x, lrn, j = self._chunk_cycle_jit(
-                    u, R, x, atol, uprev_combo, t, alpha0, sdt,
-                    self._consts)
+                if use_pstate:
+                    x, lrn, j = self._chunk_cycle_state_jit(
+                        u, R, x, atol, pstate, uprev_combo, t, alpha0,
+                        sdt, self._consts)
+                else:
+                    x, lrn, j = self._chunk_cycle_jit(
+                        u, R, x, atol, uprev_combo, t, alpha0, sdt,
+                        self._consts)
                 j = int(j)
                 lin_total += j
                 if j == 0 or float(lrn) <= float(atol):
@@ -558,9 +608,18 @@ class GLSNavierStokesSolver:
                 max(cfg.relative_residual * rbe_f, cfg.minimum_residual),
                 u.dtype)
             x = jnp.zeros(u.size, u.dtype)
+            use_pstate = self._chunk_has_pstate()
+            if use_pstate:
+                pstate = self._chunk_pstate_jit(
+                    u, combo, 0.0, alpha0, alpha0, C)
             for _cyc in range(cfg.max_krylov_cycles):
-                x, lrn, j = self._chunk_cycle_jit(
-                    u, Rbe, x, atol, combo, 0.0, alpha0, alpha0, C)
+                if use_pstate:
+                    x, lrn, j = self._chunk_cycle_state_jit(
+                        u, Rbe, x, atol, pstate, combo, 0.0, alpha0,
+                        alpha0, C)
+                else:
+                    x, lrn, j = self._chunk_cycle_jit(
+                        u, Rbe, x, atol, combo, 0.0, alpha0, alpha0, C)
                 j = int(j)
                 lin_total += j
                 if j == 0 or float(lrn) <= float(atol):

@@ -170,3 +170,37 @@ def test_sharded_bdf_step_chunked_dispatch(monkeypatch):
                                atol=1e-10)
     np.testing.assert_allclose(sh.to_global(prevs_c[0]),
                                sh.to_global(prevs_f[0]), atol=1e-10)
+
+
+def test_chunked_matches_fused_steady_bicgstab(monkeypatch):
+    """Chunked-vs-fused parity for method = bicgstab.
+
+    The chunked driver RESTARTS BiCGStab each cycle (rhat/rho
+    recurrences re-seeded from the current iterate), which is only the
+    same Krylov process as the fused driver's single bicgstab call when
+    the solve finishes within one cycle — this deck's systems do, so the
+    iterates must agree exactly; decks that need multiple cycles accept
+    restarted-BiCGStab semantics (documented in newton_linear_cycle)."""
+    deck = CAVITY.replace("set preconditioner = {precond}",
+                          "set preconditioner = {precond}\n"
+                          "  set method = bicgstab\n"
+                          "  set max krylov vectors = 400")
+    monkeypatch.setenv("SOFTX_NEWTON_CHUNK", "0")
+    prm = SimulationParameters.from_text(
+        deck.format(method="steady", tend=0.1,
+                    precond="block_jacobi"), dim=2)
+    s = GLSNavierStokesSolver(prm)
+    u_f, res_f = s.solve_steady()
+    monkeypatch.setenv("SOFTX_NEWTON_CHUNK", "1")
+    prm = SimulationParameters.from_text(
+        deck.format(method="steady", tend=0.1,
+                    precond="block_jacobi"), dim=2)
+    s = GLSNavierStokesSolver(prm)
+    u_c, res_c = s.solve_steady()
+    assert int(res_c.n_iterations) == int(res_f.n_iterations)
+    # BiCGStab's coupled recurrences amplify the reduction
+    # reassociation between separate device programs (GMRES is
+    # least-squares stable, hence its tighter parity above); both
+    # drivers converge the same Newton iterate to the linear tolerance
+    np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_f),
+                               atol=1e-6)
