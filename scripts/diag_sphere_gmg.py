@@ -44,6 +44,11 @@ REF = int(os.environ.get("REF", "1"))
 if CASE == "sphere":
     prm = SimulationParameters.from_file(
         os.path.join(ROOT, "examples", "sphere_re100.prm"), dim=3)
+elif CASE == "cylinder":
+    prm = SimulationParameters.from_file(
+        os.path.join(ROOT, "examples", "cylinder_re100.prm"), dim=2)
+    prm.fem.velocity_order = int(os.environ.get("ORDER", "2"))
+    prm.fem.pressure_order = prm.fem.velocity_order
 else:
     prm = SimulationParameters.from_file(
         os.path.join(ROOT, "examples", "cavity_re400.prm"), dim=2)
@@ -72,8 +77,12 @@ print(f"case={CASE} ref={REF} elements={s.space.n_elements} "
 
 u0 = s.initial_condition()
 C = s._consts
+# DT>0 diagnoses the TRANSIENT (BDF) linear system: alpha0 = 1.5/dt
+# (BDF2 weight), sdt = 1/dt — the system the cylinder deck solves.
+DT = float(os.environ.get("DT", "0"))
+alpha0, sdt = (1.5 / DT, 1.0 / DT) if DT > 0 else (0.0, 0.0)
 constrain, residual, precond_builder, mask, fq = s._make_problem(
-    s._zero_prev, 0.0, 0.0, 0.0, C)
+    s._zero_prev, 0.0, alpha0, sdt, C)
 u0 = constrain(u0)
 shape = u0.shape
 R0 = residual(u0)
@@ -126,6 +135,15 @@ def power_iter(pre, label, n=30):
         print(f"    |mode| mass: O-grid={node_mag[inner].sum():.3f} "
               f"background={node_mag[~inner].sum():.3f} "
               f"(O-grid nodes: {inner.sum()}/{len(r)})")
+    elif CASE == "cylinder":
+        center = np.array([0.2, 0.2])
+        r = np.linalg.norm(nodes - center, axis=1)
+        inner = r < 0.1
+        print(f"    |mode| mass: O-ring={node_mag[inner].sum():.3f} "
+              f"background={node_mag[~inner].sum():.3f} "
+              f"(O-ring nodes: {inner.sum()}/{len(r)}); "
+              f"peak node r={r[np.argmax(node_mag)]:.3f} "
+              f"x={nodes[np.argmax(node_mag)]}")
     print(f"    |mode| by component: u={vm[:, 0].sum():.3f} "
           f"v={vm[:, 1].sum():.3f} "
           + (f"w={vm[:, 2].sum():.3f} p={vm[:, 3].sum():.3f}"
@@ -157,17 +175,23 @@ if s._mg_builder is not None:
     from softx_2020_200_tpu.ops.multigrid import make_vcycle
     from softx_2020_200_tpu.fem.constraints import HangingConstraints
 
-    def variant(label, **kw):
-        bld = make_vcycle(s._mg_ops, **kw)
-        Pk = bld(s.hc.distribute(u0), s._zero_prev, fq, 0.0, 0.0,
-                 mask, C["mg"])
+    def variant(label, levels=None, **kw):
+        ops = s._mg_ops if levels is None else s._mg_ops[:levels]
+        mgc = C["mg"] if levels is None else C["mg"][:levels]
+        bld = make_vcycle(ops, **kw)
+        Pk = bld(s.hc.distribute(u0), s._zero_prev, fq, alpha0, sdt,
+                 mask, mgc)
         prek = jax.jit(lambda v: Pk(v.reshape(shape)).reshape(-1))
         run_fgmres(prek, f"GMG-FGMRES({label})", max_restarts=10)
         power_iter(prek, f"GMG rho ({label})", n=20)
 
-    variant("jacobi, coarse=300", coarse_iters=300)
-    variant("krylov m=4, coarse=300", smoother="krylov", krylov_m=4,
-            coarse_iters=300)
+    if os.environ.get("LEVELS_SWEEP") == "1":
+        for lv in range(2, len(s._mg_ops) + 1):
+            variant(f"jacobi, levels={lv}", levels=lv, coarse_iters=300)
+    else:
+        variant("jacobi, coarse=300", coarse_iters=300)
+        variant("krylov m=4, coarse=300", smoother="krylov", krylov_m=4,
+                coarse_iters=300)
 
 # --- block-Jacobi for reference ---
 from softx_2020_200_tpu.ops.preconditioners import build_from_node_blocks
@@ -175,7 +199,7 @@ from softx_2020_200_tpu.fem.constraints import HangingConstraints
 
 mask_full = mask
 blocks = s.op.node_blocks(s.hc.distribute(u0), mask_full, s._zero_prev,
-                          fq, 0.0, 0.0, C=C)
+                          fq, alpha0, sdt, C=C)
 blocks = s.bh.slip_project_blocks(blocks)
 Pbj = build_from_node_blocks("block_jacobi", blocks, mask_full).apply
 pre_bj = jax.jit(lambda v: Pbj(v.reshape(shape)).reshape(-1))

@@ -7,9 +7,15 @@
 set -x
 cd /root/repo
 
-SPH_REFINE=2 SPH_CYCLES=4 SPH_MAXEL=2600000 SPH_FRAC=0.2 \
-  SPH_PRECOND=block_jacobi SPH_SHARDS=1 \
-  timeout 14000 python scripts/run_sphere_flagship.py \
-  > docs/r4_sphere_scale.log 2>&1
+for try in 1 2 3; do
+  SPH_REFINE=2 SPH_CYCLES=4 SPH_MAXEL=2600000 SPH_FRAC=0.2 \
+    SPH_PRECOND=block_jacobi SPH_SHARDS=1 SPH_RESUME=1 \
+    timeout 14000 python scripts/run_sphere_flagship.py \
+    >> docs/r4_sphere_scale.log 2>&1
+  rc=$?
+  echo "SPHERE_TRY $try rc=$rc"
+  [ $rc -eq 0 ] && break
+  sleep 60
+done
 
-echo SPHERE_DONE rc=$?
+echo SPHERE_DONE rc=$rc

@@ -74,12 +74,54 @@ print(f"base: elements={s.space.n_elements} dofs={s.space.n_dofs(4)} "
 
 rows = []
 u_g = np.asarray(s.initial_condition())
-for cycle in range(CYCLES + 1):
+
+# Per-cycle state checkpoint + resume: the TPU relay occasionally drops
+# a remote_compile mid-run (HTTP body truncation); hours of adaptation
+# work must survive that.  SPH_RESUME=1 restores the forest + solution
+# at the last completed adaptation.
+CKPT = os.environ.get("SPH_CKPT", "/tmp/sphere_flagship_state.npz")
+start_cycle = 0
+if os.environ.get("SPH_RESUME") == "1" and os.path.exists(CKPT):
+    data = np.load(CKPT)
+    leaves = [set() for _ in range(s.forest.base.n_cells)]
+    for row in data["forest_leaves"]:
+        leaves[int(row[0])].add(tuple(int(x) for x in row[1:]))
+    s.forest.leaves = leaves
+    mesh, elem_of, ncf = s.forest.build_mesh()
+    s._elem_of = elem_of
+    s.setup(mesh=mesh, nc_faces=ncf)
+    u_g = np.asarray(data["u"])
+    start_cycle = int(data["cycle"])
+    print(f"resumed at cycle {start_cycle}: {s.space.n_elements} cells",
+          flush=True)
+
+
+def _save_state(cycle, u_arr):
+    rows_ = []
+    for b, leafset in enumerate(s.forest.leaves):
+        for leaf in sorted(leafset):
+            rows_.append((b,) + leaf)
+    np.savez(CKPT + ".tmp", cycle=cycle, u=u_arr,
+             forest_leaves=np.asarray(rows_, np.int64))
+    os.replace(CKPT + ".tmp.npz", CKPT)
+
+
+for cycle in range(start_cycle, CYCLES + 1):
     t1 = time.time()
     sh = ShardedGLSSolver.from_solver(s, devices=DEVICES)
     t_shard = time.time() - t1
     t1 = time.time()
-    u_g, hist, iters, lin = sh.solve(u_g)
+    for attempt in range(3):
+        try:
+            u_g, hist, iters, lin = sh.solve(u_g)
+            break
+        except Exception as e:      # relay flake: retry, rebuild wire
+            print(f"solve attempt {attempt} failed: {e!r}; "
+                  "retrying in 60s", flush=True)
+            time.sleep(60)
+            sh = ShardedGLSSolver.from_solver(s, devices=DEVICES)
+    else:
+        raise SystemExit("solve failed 3x")
     t_solve = time.time() - t1
     u = s.bh.constrain(np.asarray(u_g), 0.0)
     f = np.asarray(post.forces_on_boundary(
@@ -109,6 +151,7 @@ for cycle in range(CYCLES + 1):
     u_g = np.asarray(fields[0])
     print(f"adapt {cycle}: -> {s.space.n_elements} cells "
           f"({time.time()-t1:.0f}s)", flush=True)
+    _save_state(cycle + 1, u_g)
 
 out = {"case": "sphere_re100_flagship_sharded_adaptive",
        "n_shards": N_SHARDS,

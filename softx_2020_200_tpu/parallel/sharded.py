@@ -1178,14 +1178,32 @@ class ShardedGLSSolver:
         converges — scripts/diag_sphere_gmg.py)."""
         print("linear solver: GMG stagnated (linear budget exhausted); "
               "falling back to block-Jacobi preconditioning")
+        self._gmg_strikes = getattr(self, "_gmg_strikes", 0) + 1
+        self._gmg_stash = (self._mg_ops, self._mg_rep,
+                           self.precond_kind)
         self._mg_ops = None
         self._mg_rep = None
         self.precond_kind = "block_jacobi"
+        self._resharded_rejit()
+
+    def _resharded_rejit(self):
         raw = self._build_step()
         self._step_jit = jax.jit(raw)
         self._tstep_jit = jax.jit(self._build_transient_step(raw))
         self._chunk_jit = {k: jax.jit(f)
                            for k, f in self._chunk_raw.items()}
+
+    def _gmg_probation(self):
+        """Restore a fallen-back GMG preconditioner for the NEXT
+        nonlinear solve — once; permanent after a second stagnation
+        (same policy/measurement as solvers/base.py
+        ``_gmg_probation``)."""
+        if (getattr(self, "_gmg_stash", None) is not None
+                and getattr(self, "_gmg_strikes", 0) < 2):
+            self._mg_ops, self._mg_rep, self.precond_kind = \
+                self._gmg_stash
+            self._gmg_stash = None
+            self._resharded_rejit()
 
     def solve_local_chunked(self, u_stack, combo_stack, t=0.0,
                             alpha0=0.0, sdt=0.0, mask_stack=None,
@@ -1198,6 +1216,7 @@ class ShardedGLSSolver:
         Returns ``(u_stack, res_history, n_iterations, linear_iters)``
         with the same shapes as the fused ``_step``.
         """
+        self._gmg_probation()
         cfg = self.newton_cfg
         Pn = self.n_shards
         C = self._consts_full()

@@ -177,6 +177,12 @@ class GLSNavierStokesSolver:
             skip_iterations=nls.skip_iterations)
         self.precond_kind = ls.resolved_preconditioner()
         self._mg_builder = None
+        # a mesh rebuild invalidates any stashed fallen-back GMG state
+        # (its level ops/transfers belong to the OLD mesh) and resets
+        # the stagnation strikes: a new mesh gets a fresh GMG chance,
+        # exactly like the reference rebuilding ILU/AMG per mesh
+        self._gmg_stash = None
+        self._gmg_strikes = 0
         if self.precond_kind == "gmg":
             from ..ops.multigrid import build_hierarchy, make_vcycle
             self._mg_ops, self._mg_consts = build_hierarchy(self)
@@ -403,13 +409,37 @@ class GLSNavierStokesSolver:
         the cavity)."""
         print("linear solver: GMG stagnated (linear budget exhausted); "
               "falling back to block-Jacobi preconditioning")
+        self._gmg_strikes = getattr(self, "_gmg_strikes", 0) + 1
+        self._gmg_stash = (self._mg_builder, self._consts.get("mg"),
+                           self.precond_kind)
         self._mg_builder = None
         self.precond_kind = "block_jacobi"
         self._consts.pop("mg", None)
         self._rejit()
 
+    def _gmg_probation(self):
+        """Restore a fallen-back GMG preconditioner for the NEXT
+        nonlinear solve — once.
+
+        A single stagnated solve (the impulsive first transient step,
+        say) must not doom every later solve to block-Jacobi: on the
+        developed transient cylinder system GMG is measured ~100x
+        stronger (scripts/diag_sphere_gmg.py CASE=cylinder DT=0.01:
+        16 vs 2000 FGMRES iters).  After a second stagnation the swap
+        is permanent — the steady convection-dominated regime where
+        block-Jacobi is the robust choice (config #5)."""
+        if (getattr(self, "_gmg_stash", None) is not None
+                and getattr(self, "_gmg_strikes", 0) < 2):
+            builder, mg, kind = self._gmg_stash
+            self._gmg_stash = None
+            self._mg_builder = builder
+            self.precond_kind = kind
+            self._consts["mg"] = mg
+            self._rejit()
+
     def _newton_chunked(self, u0, uprev_combo, t, alpha0, sdt):
         import numpy as _np
+        self._gmg_probation()
         cfg = self.newton_cfg
         u, R, rnorm = self._chunk_init_jit(
             u0, uprev_combo, t, alpha0, sdt, self._consts)
@@ -581,6 +611,7 @@ class GLSNavierStokesSolver:
         primitives (one bounded device program per Krylov cycle).
         """
         import numpy as _np
+        self._gmg_probation()
         nls = self.prm.nonlinear_solver
         cfg = self.newton_cfg
         d = self.dim

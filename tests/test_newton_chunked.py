@@ -102,6 +102,43 @@ def test_chunked_matches_fused_steady_gmg(monkeypatch):
     np.testing.assert_allclose(u_c, u_f, atol=1e-10)
 
 
+def test_gmg_fallback_probation(monkeypatch):
+    """Stagnation fallback is per-solve with one probation: a single
+    budget-exhausted solve swaps GMG -> block-Jacobi for the REST of
+    that solve only; GMG is restored at the next solve; a second
+    stagnation makes the swap permanent.  (One impulsive first step
+    must not doom a 700-step transient to block-Jacobi — GMG measures
+    ~100x stronger on developed transient systems,
+    scripts/diag_sphere_gmg.py CASE=cylinder DT=0.01.)"""
+    monkeypatch.setenv("SOFTX_NEWTON_CHUNK", "1")
+    deck = CAVITY.format(method="steady", tend=0.1, precond="gmg")
+    deck = deck.replace(
+        "set preconditioner = gmg",
+        "set preconditioner = gmg\n  set max iters = 4\n"
+        "  set max krylov vectors = 4")
+    # refine 5: the structured hierarchy needs >=256 coarse elements
+    deck = deck.replace("set initial refinement = 3",
+                        "set initial refinement = 5")
+    prm = SimulationParameters.from_text(deck, dim=2)
+    prm.nonlinear_solver.max_iterations = 2
+    s = GLSNavierStokesSolver(prm)
+    assert s._mg_builder is not None
+
+    s.solve_steady()                      # budget 4 iters: stagnates
+    assert s._mg_builder is None
+    assert s._gmg_strikes == 1
+    assert s._gmg_stash is not None       # on probation, not permanent
+
+    s.solve_steady()                      # probation: GMG restored,
+    assert s._gmg_strikes == 2            # stagnates again ->
+    assert s._mg_builder is None          # permanent fallback
+    assert s._gmg_stash is not None
+
+    s.solve_steady()                      # stays block-Jacobi
+    assert s._gmg_strikes == 2
+    assert s._mg_builder is None
+
+
 def test_chunked_matches_fused_transient(monkeypatch):
     u_f, _ = _run(monkeypatch, chunked=False, method="bdf2", tend=0.15)
     u_c, _ = _run(monkeypatch, chunked=True, method="bdf2", tend=0.15)
