@@ -235,6 +235,13 @@ class LinearSolverParams:
     # ~krylov_m x cheaper per V-cycle)
     mg_smoother: str = "auto"     # auto | jacobi | krylov
     mg_krylov_vectors: int = 4
+    # Storage dtype for the frozen Jacobian linearization-state arrays
+    # streamed by the matrix-free J.v tangent kernel (f32 | bf16).
+    # bf16 halves the matvec's dominant HBM stream on TPU; compute
+    # stays f32 (inexact-Newton with rounded coefficients; the
+    # line-search residual is exact).  TPU-native knob, no reference
+    # counterpart.
+    jacobian_state_precision: str = "f32"
 
     def parse(self, deck: ParameterDeck) -> None:
         d = deck.sub("linear solver")
@@ -257,6 +264,8 @@ class LinearSolverParams:
         self.mg_smoother = d.get_str("mg smoother", self.mg_smoother)
         self.mg_krylov_vectors = d.get_int("mg krylov vectors",
                                            self.mg_krylov_vectors)
+        self.jacobian_state_precision = d.get_str(
+            "jacobian state precision", self.jacobian_state_precision)
 
     def resolved_mg_smoother(self, steady: bool) -> str:
         if self.mg_smoother != "auto":

@@ -81,6 +81,23 @@ def _hc_arrays(hc):
                 hc_weights=hc.weights)
 
 
+def _maybe_pallas_coarse(solver, cop, structured: bool) -> None:
+    """Run a coarse level through the fused Pallas kernel whenever the
+    fine level does.
+
+    The XLA batched (SoA) kernel's jvp leaves dot_general temps whose
+    two tiny dims land on the (sublane, lane) axes — 42.7x HBM padding
+    per coarse level, the measured TGV-96^3 OOM (docs/tgv96_run.log:
+    f32[8,110592,3,4] padded 1.69 GB).  The Pallas kernel's explicit
+    [S, L] element tiles have no such freedom to waste.  Interpret-mode
+    (CPU tests) keeps the XLA path: 32 interpreted probe launches per
+    level would crawl."""
+    pg = getattr(solver.op, "_pallas", None)
+    if pg is not None and not pg.interpret:
+        cop.enable_pallas(structured=structured,
+                          state_dtype=pg.state_dtype)
+
+
 def build_forest_hierarchy(solver, min_elems: int = 64,
                            max_levels: int = 10):
     """Mesh-AGNOSTIC hierarchy: coarsen the solver's forest level by
@@ -128,6 +145,7 @@ def build_forest_hierarchy(solver, min_elems: int = 64,
                           n_q1d=int(round(solver.op.n_q
                                           ** (1 / d))),
                           stab=solver.op.stab, dtype=solver.op.dtype)
+        _maybe_pallas_coarse(solver, cop, structured=False)
         cbh = BoundaryHandler(cspace, solver.prm.boundary_conditions)
         cmask = cbh.mask
         if chc.n:
@@ -208,6 +226,7 @@ def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
                           n_q1d=int(round(solver.op.n_q
                                           ** (1 / space.dim))),
                           stab=solver.op.stab, dtype=solver.op.dtype)
+        _maybe_pallas_coarse(solver, cop, structured=True)
         cbh = BoundaryHandler(cspace, solver.prm.boundary_conditions)
         masters, weights, inject = _transfer_maps(prev_space, cspace)
         level_ops.append(cop)

@@ -32,19 +32,26 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-S = 8          # sublanes per tile
-L = 512        # lanes per tile
+# Tile shape: 16 sublanes x 256 lanes keeps BLK = 4096 while making the
+# sublane count a multiple of EVERY dtype's minimum tile (f32 needs 8,
+# bf16 needs 16) — so the frozen linearization-state rows can be stored
+# in bf16 (VERDICT r3 matvec lever: halves the dominant constant stream
+# of the Jacobian matvec) without Mosaic padding them 2x.
+S = 16         # sublanes per tile
+L = 256        # lanes per tile
 BLK = S * L    # elements per grid step
 
 
 def _build_kernel(dim: int, nn: int, nq: int, nu: float,
                   supg: bool, pspg: bool, gls_adjoint: bool, lsic: bool,
-                  tangent: bool):
+                  tangent: bool, compute_dtype=jnp.float32):
     """Return the pallas kernel body.
 
     Row layouts: ue[nn*c], xe[nn*d], up[nn*d], fq[nq*d], h[1]; out[nn*c].
     With ``tangent=True`` an extra ``due[nn*c]`` input follows ue and the
-    output is the frozen-tau directional derivative.
+    output is the frozen-tau directional derivative.  Input rows may
+    arrive in a NARROWER dtype (bf16 state arrays): every tile is cast
+    to ``compute_dtype`` on read, so all arithmetic runs full-precision.
     """
     d = dim
     c = d + 1
@@ -58,11 +65,11 @@ def _build_kernel(dim: int, nn: int, nq: int, nu: float,
             ue_ref, xe_ref, up_ref, fq_ref, h_ref, out_ref = refs
             due_ref = None
 
-        alpha0 = alpha0_ref[0, 0]
-        sdt = sdt_ref[0, 0]
+        alpha0 = alpha0_ref[0, 0].astype(compute_dtype)
+        sdt = sdt_ref[0, 0].astype(compute_dtype)
 
         def row(ref, i):
-            return ref[i, 0]                    # [S, L] tile
+            return ref[i, 0].astype(compute_dtype)   # [S, L] tile
 
         ue = [row(ue_ref, i) for i in range(nn * c)]
         xe = [row(xe_ref, i) for i in range(nn * d)]
@@ -243,7 +250,7 @@ class PallasGLS:
     def __init__(self, space, nu: float, n_q1d: int | None = None,
                  supg=True, pspg=True, gls_adjoint=True, lsic=False,
                  dtype=jnp.float32, interpret=False, elem_coords=None,
-                 n_elements: int | None = None):
+                 n_elements: int | None = None, state_dtype=None):
         d = space.dim
         c = d + 1
         self.dim, self.nc = d, c
@@ -255,6 +262,15 @@ class PallasGLS:
         nn = space.basis.n_nodes
         self.nn = nn
         self.dtype = dtype
+        # Narrow storage dtype for the FROZEN linearization-state rows
+        # (ue/up/fq/xe/h) of the TANGENT kernel only — the GMRES matvec's
+        # dominant HBM stream.  Compute stays in ``dtype`` (cast-on-read
+        # in VMEM); the tangent direction, primal residual, and output
+        # stay full precision, so the line-search residual is exact and
+        # the Jacobian is merely a rounded-coefficient Jacobian (inexact
+        # Newton).  Under ``jax.linearize`` the casts are primal-side,
+        # i.e. they run once per Newton iteration, not per matvec.
+        self.state_dtype = state_dtype
         self.interpret = interpret
         self.flags = (supg, pspg, gls_adjoint, lsic)
 
@@ -295,6 +311,14 @@ class PallasGLS:
             ue2, up2, fq2, xe2, h2, alpha0, sdt = primals
             due2 = tangents[0]
             out = residual_rows_g(ue2, up2, fq2, xe2, h2, alpha0, sdt)
+            if self.state_dtype is not None:
+                # primal-side casts: hoisted to once-per-linearize by
+                # jax.linearize's partial evaluation, so every GMRES
+                # matvec streams the state at the narrow width
+                sd = self.state_dtype
+                ue2, up2, fq2 = (ue2.astype(sd), up2.astype(sd),
+                                 fq2.astype(sd))
+                xe2, h2 = xe2.astype(sd), h2.astype(sd)
             dout = self._tangent(ue2, due2, up2, fq2, xe2, h2,
                                  alpha0, sdt)
             return out, dout
@@ -347,7 +371,8 @@ class PallasGLS:
     def _make_call(self, tangent: bool):
         supg, pspg, gls_adjoint, lsic = self.flags
         kern = _build_kernel(self.dim, self.nn, self.nq, self.nu,
-                             supg, pspg, gls_adjoint, lsic, tangent)
+                             supg, pspg, gls_adjoint, lsic, tangent,
+                             compute_dtype=self.dtype)
         nn, c, d, nq = self.nn, self.nc, self.dim, self.nq
         Eg = self.Eg
 
@@ -401,6 +426,11 @@ class PallasGLS:
         (measured 2.2 s -> ~45 ms at 1.1M DoF)."""
         xe2 = xe2 if xe2 is not None else self.xe_t
         h2 = h2 if h2 is not None else self.h_t
+        if self.state_dtype is not None:
+            sd = self.state_dtype
+            ue2, up2, fq2 = (ue2.astype(sd), up2.astype(sd),
+                             fq2.astype(sd))
+            xe2, h2 = xe2.astype(sd), h2.astype(sd)
         nn, c = self.nn, self.nc
         out_n = []
         for n0 in range(nn):

@@ -138,7 +138,9 @@ class GLSNavierStokesSolver:
                       or (prm.fem.kernel == "auto"
                           and jax.default_backend() == "tpu"))
         if use_pallas:
-            self.op.enable_pallas()
+            sd = (jnp.bfloat16 if prm.linear_solver
+                  .jacobian_state_precision == "bf16" else None)
+            self.op.enable_pallas(state_dtype=sd)
         self.bh = BoundaryHandler(self.space, prm.boundary_conditions)
 
         self.source = (VectorExpression(prm.source_term.xyz)

@@ -270,7 +270,8 @@ class GLSOperator:
 
     # ------------------------------------------------------------------
     def enable_pallas(self, interpret: bool = False,
-                      structured: bool | None = None):
+                      structured: bool | None = None,
+                      state_dtype=None):
         """Switch residual_free to the fused Pallas element kernel
         (ops/pallas_gls.py): one launch for the whole element physics,
         custom_jvp tangent = frozen-tau linearized form (the reference's
@@ -296,7 +297,8 @@ class GLSOperator:
                            supg=self.stab.supg, pspg=self.stab.pspg,
                            gls_adjoint=self.stab.gls_viscous_adjoint,
                            lsic=self.stab.lsic, dtype=self.dtype,
-                           interpret=interpret, elem_coords=xe_grid)
+                           interpret=interpret, elem_coords=xe_grid,
+                           state_dtype=state_dtype)
             self._pallas = pg
             # element permutation space->grid order: fq arrives in the
             # space's element order (same as qpts_phys) and is permuted
@@ -379,7 +381,7 @@ class GLSOperator:
                        supg=self.stab.supg, pspg=self.stab.pspg,
                        gls_adjoint=self.stab.gls_viscous_adjoint,
                        lsic=self.stab.lsic, dtype=self.dtype,
-                       interpret=interpret)
+                       interpret=interpret, state_dtype=state_dtype)
         self._pallas = pg
 
         def residual_free(u, uprev_combo, fq, alpha0, sdt, C=None):

@@ -73,3 +73,48 @@ def test_pallas_solver_path_couette():
     u, res = s.solve_steady(verbose=False)
     ev, ep = s.l2_errors(u)
     assert ev < 1e-5   # f32 pallas path
+
+
+def test_pallas_tangent_bf16_state():
+    """bf16 linearization-state tangent (linear solver 'jacobian state
+    precision = bf16'): same frozen-tau matvec with the FROZEN state
+    rows stored bf16 and cast to f32 in VMEM — a rounded-coefficient
+    Jacobian.  Must track the f32 tangent to bf16 coefficient accuracy
+    (~1e-2 relative) while the primal residual stays bitwise f32."""
+    dim, refine = 2, 3
+    mesh = hyper_cube(0.0, 1.0, colorize=True, dim=dim).refine_uniform(refine)
+    space = FESpace(mesh, 1)
+    nu = 0.05
+    op = GLSOperator(space, nu=nu, dtype=jnp.float32)
+    pg32 = PallasGLS(space, nu=nu, interpret=True)
+    pg16 = PallasGLS(space, nu=nu, interpret=True,
+                     state_dtype=jnp.bfloat16)
+    N, c = space.n_nodes, dim + 1
+    E = space.n_elements
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((N, c)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((N, c)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((N, dim)).astype(np.float32))
+    fq = jnp.asarray(rng.standard_normal(
+        (E, op.n_q, dim)).astype(np.float32))
+    a0, sdt = 2.0, 4.0
+    C = op.consts()
+    ue = gather_elements(u, C["elem_nodes"])
+    upe = gather_elements(prev, C["elem_nodes"])
+    due = gather_elements(v, C["elem_nodes"])
+    ue2, up2, fq2 = pg32.to_rows(ue), pg32.to_rows(upe), pg32.to_rows(fq)
+    due2 = pg32.to_rows(due)
+
+    # primal residual identical (bf16 applies to the tangent state only)
+    r32 = pg32.from_rows(pg32.residual_rows(ue2, up2, fq2, a0, sdt))
+    r16 = pg16.from_rows(pg16.residual_rows(ue2, up2, fq2, a0, sdt))
+    np.testing.assert_array_equal(np.asarray(r32), np.asarray(r16))
+
+    g32 = lambda w: pg32.residual_rows(w, up2, fq2, a0, sdt)
+    g16 = lambda w: pg16.residual_rows(w, up2, fq2, a0, sdt)
+    d32 = pg32.from_rows(jax.jvp(g32, (ue2,), (due2,))[1])
+    d16 = pg16.from_rows(jax.jvp(g16, (ue2,), (due2,))[1])
+    scale = float(jnp.abs(d32).max())
+    rel = float(jnp.abs(d16 - d32).max()) / scale
+    assert rel < 2e-2, rel          # bf16 coefficient rounding
+    assert rel > 1e-7, rel          # and it actually took effect
