@@ -267,10 +267,16 @@ class LinearSolverParams:
         self.jacobian_state_precision = d.get_str(
             "jacobian state precision", self.jacobian_state_precision)
 
-    def resolved_mg_smoother(self, steady: bool) -> str:
+    def resolved_mg_smoother(self, steady: bool,
+                             degree: int = 1) -> str:
         if self.mg_smoother != "auto":
             return self.mg_smoother
-        return "krylov" if steady else "jacobi"
+        # krylov smoothing where damped node-block Jacobi is measured
+        # weak: steady convective systems, and HIGH-ORDER spaces — on
+        # the Q2 transient cylinder the p-MG V-cycle converges FGMRES
+        # in 6 iterations with a GMRES(4) smooth vs 122 with Jacobi
+        # (scripts/diag_sphere_gmg.py CASE=cylinder ORDER=2 DT=0.01)
+        return "krylov" if (steady or degree > 1) else "jacobi"
 
     def resolved_preconditioner(self) -> str:
         if self.preconditioner != "auto":

@@ -129,6 +129,50 @@ def build_forest_hierarchy(solver, min_elems: int = 64,
     cur_forest = solver.forest
     cur_space = space
     cur_elem_of = solver._elem_of
+
+    # p-coarsening first for high-order spaces: a Q1 level on the SAME
+    # mesh, then h-coarsening at degree 1.  Rediscretized same-degree
+    # Q2 coarse levels stagnate FGMRES on transient multiblock decks
+    # (cylinder Q2: 270 iters vs Q1's 17 at the same DoF count,
+    # scripts/diag_sphere_gmg.py) — the intra-element high-order modes
+    # are local and Jacobi-smoothable, so the p-level hands the smooth
+    # error to the measured-strong Q1 hierarchy.  Standard practice for
+    # high-order FEM multigrid (p-MG + low-order AMG — the reference's
+    # ML-AMG slot sees the assembled matrix and does this implicitly
+    # via aggregation).
+    if space.degree > 1:
+        cspace = FESpace(space.mesh, 1)
+        chc = build_hanging_constraints(cspace, solver._nc_faces)
+        cop = GLSOperator(cspace, solver.op.nu,
+                          n_q1d=2, stab=solver.op.stab,
+                          dtype=solver.op.dtype)
+        _maybe_pallas_coarse(solver, cop, structured=False)
+        cbh = BoundaryHandler(cspace, solver.prm.boundary_conditions)
+        cmask = cbh.mask
+        if chc.n:
+            cmask = cmask | jnp.zeros_like(cmask).at[chc.ids].set(True)
+        bc_f, bp_f = _new_node_base_positions(cur_space, cur_forest,
+                                              cur_elem_of)
+        elem_c, ref_c = locate_in_forest(bc_f, bp_f, cur_forest,
+                                         cur_elem_of, d)
+        Bp, _, _ = cspace.basis.tabulate(ref_c)
+        masters = cspace.elem_nodes[elem_c]
+        bc_c, bp_c = _new_node_base_positions(cspace, cur_forest,
+                                              cur_elem_of)
+        elem_f, ref_f = locate_in_forest(bc_c, bp_c, cur_forest,
+                                         cur_elem_of, d)
+        Br, _, _ = cur_space.basis.tabulate(ref_f)
+        inj_masters = cur_space.elem_nodes[elem_f]
+        level_ops.append(cop)
+        mg.append(dict(cop.consts(), bh_mask=cmask,
+                       masters=jnp.asarray(masters.astype(np.int32)),
+                       weights=jnp.asarray(Bp, solver.op.dtype),
+                       inj_masters=jnp.asarray(
+                           inj_masters.astype(np.int32)),
+                       inj_weights=jnp.asarray(Br, solver.op.dtype),
+                       **_hc_arrays(chc)))
+        cur_space = cspace
+
     while (len(level_ops) < max_levels
            and cur_space.n_elements > min_elems):
         cforest = _coarsen_forest(cur_forest)
@@ -139,7 +183,7 @@ def build_forest_hierarchy(solver, min_elems: int = 64,
         # before DoF numbering); propagate it so coarse spaces fuse the
         # same seams
         cmesh.periodic = list(space.mesh.periodic)
-        cspace = FESpace(cmesh, space.degree)
+        cspace = FESpace(cmesh, cur_space.degree)
         chc = build_hanging_constraints(cspace, c_ncf)
         cop = GLSOperator(cspace, solver.op.nu,
                           n_q1d=int(round(solver.op.n_q
@@ -202,6 +246,24 @@ def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
     lo = mesh.vertices.min(axis=0)
     hi = mesh.vertices.max(axis=0)
     prev_space = space
+    cur_degree = space.degree
+    if space.degree > 1:
+        # p-coarsening first (see build_forest_hierarchy): a Q1 level
+        # on the SAME lattice, then h-halving at degree 1
+        cspace = FESpace(mesh, 1)
+        cop = GLSOperator(cspace, solver.op.nu, n_q1d=2,
+                          stab=solver.op.stab, dtype=solver.op.dtype)
+        _maybe_pallas_coarse(solver, cop, structured=True)
+        cbh = BoundaryHandler(cspace, solver.prm.boundary_conditions)
+        masters, weights, inject = _transfer_maps(prev_space, cspace)
+        level_ops.append(cop)
+        mg.append(dict(cop.consts(),
+                       bh_mask=cbh.mask,
+                       masters=jnp.asarray(masters),
+                       weights=jnp.asarray(weights, solver.op.dtype),
+                       inject=jnp.asarray(inject)))
+        prev_space = cspace
+        cur_degree = 1
     while (len(level_ops) < max_levels
            and all(n % 2 == 0 for n in ne)
            and int(np.prod(ne)) // (2 ** space.dim) >= min_elems):
@@ -221,7 +283,7 @@ def build_hierarchy(solver, min_elems: int = 256, max_levels: int = 10):
                 if ids:
                     row[2] = next(iter(ids))
         cmesh.periodic = list(mesh.periodic)
-        cspace = FESpace(cmesh, space.degree)
+        cspace = FESpace(cmesh, cur_degree)
         cop = GLSOperator(cspace, solver.op.nu,
                           n_q1d=int(round(solver.op.n_q
                                           ** (1 / space.dim))),
@@ -311,8 +373,12 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
                  if k not in ("bh_mask", "masters", "weights", "inject",
                               "inj_masters", "inj_weights",
                               "hc_ids", "hc_masters", "hc_weights")}
+            # NB: named sm_apply, NOT 'smoother' — that would shadow the
+            # make_vcycle(smoother=...) option inside this scope and
+            # silently disable the krylov branch (a bug this renaming
+            # fixed; the string compare in smooth() saw a function)
             blocks = op.node_blocks(ul, mask, upl, fql, alpha0, sdt, C=C)
-            smoother = build_from_node_blocks("block_jacobi", blocks,
+            sm_apply = build_from_node_blocks("block_jacobi", blocks,
                                               mask).apply
 
             def matvec(v, op=op, ul=ul, upl=upl, fql=fql, mask=mask,
@@ -325,7 +391,7 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
                                (jnp.where(mask, 0.0, v),))[1] \
                     + jnp.where(mask, v, 0.0)
 
-            mats.append((matvec, smoother, mask))
+            mats.append((matvec, sm_apply, mask))
 
         def prolong(li, vc):
             # constrained coarse rows carry zeros in the cycle: fill

@@ -84,7 +84,8 @@ class ShardedGLSSolver:
                  newton: NewtonConfig = NewtonConfig(), dtype=None,
                  kernel: str = "xla", precond: str = "block_jacobi",
                  source_fn=None, bc_exprs=None, bc_mask=None, mg=None,
-                 hc=None):
+                 hc=None, mg_smoother: str = "jacobi",
+                 mg_krylov_m: int = 4):
         """kernel:   'xla' | 'pallas' | 'pallas_interpret'
         precond:  'jacobi' | 'block_jacobi' | 'gmg'
         source_fn: traceable (qpts[..., d], t) -> [..., d] body force
@@ -125,6 +126,8 @@ class ShardedGLSSolver:
         self.nn = L.nn
         self.stab = stab
         self.precond_kind = precond
+        self._mg_smoother = mg_smoother
+        self._mg_krylov_m = mg_krylov_m
 
         # default Dirichlet mask stack (a solve() may pass its own);
         # hanging rows are masked like Dirichlet rows (their Newton
@@ -331,13 +334,18 @@ class ShardedGLSSolver:
 
             def source_fn(q, t):
                 return src.spatial(q, t)[..., :dd]
+        ls = solver.prm.linear_solver
         return cls(
             solver.space, nu=solver.op.nu, devices=devices,
             stab=solver.op.stab, newton=newton or solver.newton_cfg,
             dtype=dtype, kernel=kernel, precond=precond,
             source_fn=source_fn, bc_exprs=solver.bh.function_entries,
             bc_mask=solver.bh.mask_np, mg=mg,
-            hc=solver.hc if solver.hc.n else None)
+            hc=solver.hc if solver.hc.n else None,
+            mg_smoother=ls.resolved_mg_smoother(
+                solver.control.is_steady(),
+                degree=solver.space.degree),
+            mg_krylov_m=ls.mg_krylov_vectors)
 
     # ------------------------------------------------------------------
     def _augment_mask(self, bc_mask_global):
@@ -724,6 +732,9 @@ class ShardedGLSSolver:
                               for k in range(ist_slots.shape[0]))
                     return reduce_fn(out)
 
+            mg_smoother = self._mg_smoother
+            krylov_m = self._mg_krylov_m
+
             def builder(u):
                 binv = node_block_inv(u, bc_mask, combo, fq, alpha0, sdt)
 
@@ -741,17 +752,37 @@ class ShardedGLSSolver:
                     return f_lin(jnp.where(bc_mask, 0.0, v)) \
                         + jnp.where(bc_mask, v, 0.0)
 
+                def kry_smooth(r, z0):
+                    """GMRES(m) fine-level smooth (psum dots) — the
+                    sharded mirror of ops.multigrid.make_vcycle's
+                    krylov smoother, so 1-vs-N iterates match."""
+                    from ..ops.linalg import gmres
+                    shp = r.shape
+                    sol, _, _ = gmres(
+                        lambda x: matvec(x.reshape(shp)).reshape(-1),
+                        r.reshape(-1),
+                        x0=None if z0 is None else z0.reshape(-1),
+                        precond=lambda x: smooth(
+                            x.reshape(shp)).reshape(-1),
+                        m=krylov_m, max_restarts=1, atol=1e-30,
+                        reduce_fn=reduce_fn)
+                    return sol.reshape(shp)
+
                 uc = to_coarse_state(u * owned[:, None])
                 cc = to_coarse_state(combo * owned[:, None])
                 fqc = jnp.zeros((op1.space.n_elements, op1.n_q, d),
                                 u.dtype)
-                coarse_apply = make_vcycle(mg_ops)(
+                coarse_apply = make_vcycle(
+                    mg_ops, smoother=mg_smoother, krylov_m=krylov_m)(
                     uc, cc, fqc, alpha0, sdt, mask1, mg_rep)
 
                 def apply(r):
-                    z = omega * smooth(r)
-                    for _ in range(n_smooth - 1):
-                        z = z + omega * smooth(r - matvec(z))
+                    if mg_smoother == "krylov":
+                        z = kry_smooth(r, None)
+                    else:
+                        z = omega * smooth(r)
+                        for _ in range(n_smooth - 1):
+                            z = z + omega * smooth(r - matvec(z))
                     res = r - matvec(z)
                     res = res * owned[:, None]
                     # restriction by child gathers (no RMW chain)
@@ -767,7 +798,10 @@ class ShardedGLSSolver:
                     zf = sum(weights[m][:, None] * zc[masters[m]]
                              for m in range(nm))
                     z = z + jnp.where(bc_mask, 0.0, zf) * owned[:, None]
-                    z = z + omega * smooth(r - matvec(z))
+                    if mg_smoother == "krylov":
+                        z = kry_smooth(r, z)
+                    else:
+                        z = z + omega * smooth(r - matvec(z))
                     return z
 
                 return apply

@@ -195,7 +195,8 @@ class GLSNavierStokesSolver:
                 self._mg_builder = make_vcycle(
                     self._mg_ops,
                     smoother=ls.resolved_mg_smoother(
-                        self.control.is_steady()),
+                        self.control.is_steady(),
+                        degree=self.space.degree),
                     krylov_m=ls.mg_krylov_vectors)
                 import dataclasses as _dc
                 self.newton_cfg = _dc.replace(self.newton_cfg,

@@ -186,6 +186,49 @@ def test_sharded_gmg_parity_and_strength():
     assert lin_mg < lin_bj, (lin_mg, lin_bj)
 
 
+def test_sharded_gmg_q2_pmg_krylov_parity():
+    """Q2 sharded GMG with the p-coarsened hierarchy (Q1 level on the
+    SAME lattice before h-coarsening) and the GMRES(m) krylov fine
+    smooth — the sharded mirror of make_vcycle(smoother='krylov').
+    Pins 1-vs-4 parity plus an iteration win over block-Jacobi (the
+    measured Q2 fix, docs/VALIDATION.md round-4 table)."""
+    from softx_2020_200_tpu.ops.multigrid import build_hierarchy
+    s = make_mms_solver(refine=3, order=2)
+    dt = 0.1
+    u0, u_ref, res = _single_step(s, dt)
+    mg = build_hierarchy(s, min_elems=2)
+    # the p-level: degree drops to 1 on the SAME element lattice
+    assert mg[0][1].space.degree == 1
+    assert mg[0][1].space.n_elements == s.space.n_elements
+
+    sh = ShardedGLSSolver(
+        s.space, nu=s.op.nu, devices=jax.devices()[:4], stab=s.op.stab,
+        newton=s.newton_cfg, precond="gmg", mg=mg,
+        source_fn=s._mms_source, bc_exprs=s.bh.function_entries,
+        bc_mask=s.bh.mask_np, mg_smoother="krylov")
+    alpha = bdf_coefficients(1, [dt])
+    combo = np.asarray(alpha[1] * u0[:, :2])
+    u_par, hist, iters, lin_mg = sh.solve(
+        np.asarray(u0), uprev_combo_global=combo,
+        alpha0=float(alpha[0]), sdt=1.0 / dt, t=dt)
+    d = s.dim
+    err_v = np.abs(u_par[:, :d] - np.asarray(u_ref)[:, :d]).max()
+    dp = u_par[:, d] - np.asarray(u_ref)[:, d]
+    err_p = np.abs(dp - dp.mean()).max()
+    assert err_v < 1e-9, f"sharded q2 pmg velocity parity: {err_v}"
+    assert err_p < 1e-9, f"sharded q2 pmg pressure parity: {err_p}"
+
+    sh_bj = ShardedGLSSolver(
+        s.space, nu=s.op.nu, devices=jax.devices()[:4], stab=s.op.stab,
+        newton=s.newton_cfg, precond="block_jacobi",
+        source_fn=s._mms_source, bc_exprs=s.bh.function_entries,
+        bc_mask=s.bh.mask_np)
+    _, _, _, lin_bj = sh_bj.solve(
+        np.asarray(u0), uprev_combo_global=combo,
+        alpha0=float(alpha[0]), sdt=1.0 / dt, t=dt)
+    assert lin_mg < lin_bj, (lin_mg, lin_bj)
+
+
 def make_adapted_mms_solver(refine=3, order=1, marks=(9, 36)):
     """MMS solver on a Kelly-style ADAPTED forest mesh (non-conforming
     faces -> hanging constraints).
