@@ -26,12 +26,42 @@ def run_app(dim: int, argv: list[str] | None = None,
     prm = SimulationParameters.from_file(argv[0], dim=dim)
     solver = solver_cls(prm)
     if n_shards > 1:
-        if not isinstance(solver, GLSNavierStokesSolver):
-            print("multi-device sharding is available for the GLS apps",
-                  file=sys.stderr)
-            return 1
-        return _run_sharded(solver, n_shards)
+        if isinstance(solver, GLSNavierStokesSolver):
+            return _run_sharded(solver, n_shards)
+        return _run_sharded_gd(solver, n_shards)
     solver.solve()
+    return 0
+
+
+def _run_sharded_gd(s, n_shards: int) -> int:
+    """Distributed gd_navier_stokes_* path (``mpirun -np N`` parity).
+
+    The GD engine's full orchestration (time loop, startup, SDIRK,
+    Kelly adaptation, checkpoint/restart, post-processing, tables)
+    already runs on global state; sharding swaps the INNER nonlinear
+    solve for the shard_map program via the ``_sharded_hook`` —
+    identical deck, identical outputs.  The hook re-wires itself
+    whenever adaptation rebuilds the operator."""
+    import jax
+    from ..parallel.sharded_gd import ShardedGDSolver
+
+    devices = jax.devices()[:n_shards]
+    if len(devices) < n_shards:
+        print(f"need {n_shards} devices, have {len(jax.devices())}",
+              file=sys.stderr)
+        return 1
+    cache: dict = {}
+
+    def hook(x0, combo, t, alpha0, sdt):
+        if cache.get("op") is not s.op:
+            cache["op"] = s.op
+            cache["sh"] = ShardedGDSolver.from_solver(s,
+                                                      devices=devices)
+        return cache["sh"].solve(x0, combo, t=float(t),
+                                 alpha0=float(alpha0), sdt=float(sdt))
+
+    s._sharded_hook = hook
+    s.solve()
     return 0
 
 

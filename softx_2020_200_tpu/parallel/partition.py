@@ -81,21 +81,28 @@ class ShardLayout:
         return out
 
 
-def partition_space(space, n_shards: int, hc=None) -> ShardLayout:
+def partition_space(space, n_shards: int, hc=None,
+                    elem_order=None) -> ShardLayout:
     """Build the shard layout for an FESpace over n_shards devices.
 
     ``hc`` (HangingConstraints) closes each shard's node set over the
     MASTERS of any hanging node the shard touches, so constraint rows
     can be applied shard-locally after a ghost refresh (the distributed
     analogue of deal.II's locally_relevant_dofs including constraint
-    dependencies — SURVEY.md §2.2 setup_dofs)."""
+    dependencies — SURVEY.md §2.2 setup_dofs).
+
+    ``elem_order`` overrides the Morton element permutation — mixed
+    (Taylor-Hood) discretizations partition their velocity and pressure
+    spaces with the SAME element ranges so every element is wholly
+    owned by one shard in both spaces."""
     P = n_shards
     elem_nodes = space.elem_nodes            # [E, nn] int32 global
     coords = space.element_coords()          # [E, nn, dim]
     E, nn = elem_nodes.shape
     dim = space.dim
 
-    order = morton_order(coords.mean(axis=1))
+    order = (elem_order if elem_order is not None
+             else morton_order(coords.mean(axis=1)))
     # contiguous ranges of the Morton order
     bounds = np.linspace(0, E, P + 1).astype(np.int64)
     shard_elems = [order[bounds[p]:bounds[p + 1]] for p in range(P)]

@@ -34,6 +34,46 @@ from ..ops.operators import (
     node_multiplicity)
 
 
+def gd_soa_residual(ve_t, pe_t, vpe_t, xe_t, fq_t, Bv, Gv, Bp, w,
+                    nu, gamma, alpha0, sdt, dtype):
+    """Element-local grad-div Taylor-Hood weak form, SoA batch-minor.
+
+    ve_t[nnv, d, E], pe_t[nnp, E], vpe_t[nnv, d, E], xe_t[nnv, d, E],
+    fq_t[q, d, E] -> (Rv[nnv, d, E], Rp[nnp, E]).  Shared by the
+    single-device ``GDOperator`` and the sharded path — identical
+    physics, only gather/scatter and reductions differ across shards
+    (same split as the GLS kernels)."""
+    d = ve_t.shape[1]
+    J = jnp.einsum("niE,qnj->qijE", xe_t, Gv)
+    from ..ops.batched_kernel import _det_inv_soa
+    detJ, Jinv = _det_inv_soa(J)
+    scale = detJ * w[:, None]
+
+    vq = jnp.einsum("qn,ndE->qdE", Bv, ve_t)
+    dv_dxi = jnp.einsum("qna,ndE->qdaE", Gv, ve_t)
+    gv = jnp.einsum("qdaE,qaiE->qdiE", dv_dxi, Jinv)
+    pq = jnp.einsum("qn,nE->qE", Bp, pe_t)
+    vdot = alpha0 * vq + jnp.einsum("qn,ndE->qdE", Bv, vpe_t)
+    conv = jnp.einsum("qijE,qjE->qiE", gv, vq)
+    div = jnp.einsum("qiiE->qE", gv)
+
+    # momentum test-function coefficients
+    a_v = scale[:, None] * (vdot + conv - fq_t)
+    eye = jnp.eye(d, dtype=dtype)
+    a_g = scale[:, None, None] * (
+        nu * gv
+        + (gamma * div - pq)[:, None, None]
+        * eye[None, :, :, None])
+    # continuity
+    a_p = scale * div
+
+    Rv = jnp.einsum("qn,qiE->niE", Bv, a_v)
+    ag_ref = jnp.einsum("qijE,qajE->qiaE", a_g, Jinv)
+    Rv = Rv + jnp.einsum("qna,qiaE->niE", Gv, ag_ref)
+    Rp = jnp.einsum("qn,qE->nE", Bp, a_p)
+    return Rv, Rp
+
+
 class GDOperator:
     """Matrix-free grad-div Taylor-Hood operator on a mesh."""
 
@@ -99,33 +139,10 @@ class GDOperator:
         xe_t = jnp.transpose(self.xe, (1, 2, 0))
         fq_t = jnp.transpose(fq, (1, 2, 0))             # [q, d, E]
 
-        J = jnp.einsum("niE,qnj->qijE", xe_t, self.Gv)
-        from ..ops.batched_kernel import _det_inv_soa
-        detJ, Jinv = _det_inv_soa(J)
-        scale = detJ * self.w[:, None]
-
-        vq = jnp.einsum("qn,ndE->qdE", self.Bv, ve_t)
-        dv_dxi = jnp.einsum("qna,ndE->qdaE", self.Gv, ve_t)
-        gv = jnp.einsum("qdaE,qaiE->qdiE", dv_dxi, Jinv)
-        pq = jnp.einsum("qn,nE->qE", self.Bp, pe_t)
-        vdot = alpha0 * vq + jnp.einsum("qn,ndE->qdE", self.Bv, vpe_t)
-        conv = jnp.einsum("qijE,qjE->qiE", gv, vq)
-        div = jnp.einsum("qiiE->qE", gv)
-
-        # momentum test-function coefficients
-        a_v = scale[:, None] * (vdot + conv - fq_t)
-        eye = jnp.eye(d, dtype=self.dtype)
-        a_g = scale[:, None, None] * (
-            self.nu * gv
-            + (self.gamma * div - pq)[:, None, None]
-            * eye[None, :, :, None])
-        # continuity
-        a_p = scale * div
-
-        Rv = jnp.einsum("qn,qiE->niE", self.Bv, a_v)
-        ag_ref = jnp.einsum("qijE,qajE->qiaE", a_g, Jinv)
-        Rv = Rv + jnp.einsum("qna,qiaE->niE", self.Gv, ag_ref)
-        Rp = jnp.einsum("qn,qE->nE", self.Bp, a_p)
+        Rv, Rp = gd_soa_residual(ve_t, pe_t, vpe_t, xe_t, fq_t,
+                                 self.Bv, self.Gv, self.Bp, self.w,
+                                 self.nu, self.gamma, alpha0, sdt,
+                                 self.dtype)
 
         Rv_el = jnp.transpose(Rv, (2, 0, 1))            # [E, nnv, d]
         Rp_el = jnp.transpose(Rp, (1, 0))[:, :, None]   # [E, nnp, 1]
@@ -513,11 +530,22 @@ class GDNavierStokesSolver:
             x = op.join(vv[:, :d], pv[:, d])
         return jnp.where(self._mask, self._bc_values_flat(0.0), x)
 
+    def _newton(self, x0, combo, t, alpha0, sdt):
+        """One nonlinear solve — the single fused-jit program, or the
+        SPMD shard_map program when a sharded hook is installed (the
+        apps layer wires ``ShardedGDSolver`` here; the hook survives
+        ``setup()`` rebuilds by re-wiring itself on space change —
+        reference ``mpirun -np N`` parity for the gd apps)."""
+        hook = getattr(self, "_sharded_hook", None)
+        if hook is not None:
+            return hook(x0, combo, t, alpha0, sdt)
+        return self._solve_jit(x0, combo, t, alpha0, sdt)
+
     def solve_steady(self, x0=None):
         if x0 is None:
             x0 = self.initial_condition()
-        res = self._solve_jit(x0, jnp.zeros((self.op.Nv, self.dim)),
-                              0.0, 0.0, 0.0)
+        res = self._newton(x0, jnp.zeros((self.op.Nv, self.dim)),
+                           0.0, 0.0, 0.0)
         return res.u, res
 
     def solve_transient_step(self, x, previous, t, dts, order):
@@ -527,8 +555,8 @@ class GDNavierStokesSolver:
         for i in range(1, order + 1):
             vi, _ = self.op.split(previous[i - 1])
             combo = combo + alpha[i] * vi
-        res = self._solve_jit(x, combo, t, float(alpha[0]),
-                              1.0 / float(dts[0]))
+        res = self._newton(x, combo, t, float(alpha[0]),
+                           1.0 / float(dts[0]))
         return res.u, res
 
     def solve_sdirk_step(self, x, t_old, dt, order):
@@ -548,8 +576,8 @@ class GDNavierStokesSolver:
             combo = -v_n * alpha0
             for j in range(s_i):
                 combo = combo - (A[s_i, j] / gamma) * ks[j]
-            res = self._solve_jit(x, combo, t_old + c[s_i] * dt,
-                                  alpha0, 1.0 / dt)
+            res = self._newton(x, combo, t_old + c[s_i] * dt,
+                               alpha0, 1.0 / dt)
             x = res.u
             v_s, _ = op.split(x)
             ks.append(alpha0 * v_s + combo)

@@ -145,3 +145,11 @@ def test_golden_kelly_transient_multidevice(tmp_path):
     out1 = run_deck("kelly_np4", 2, tmp_path)
     out4 = run_deck("kelly_np4", 2, tmp_path, n_shards=4)
     numdiff(out4, out1, rtol=2e-3, atol=1e-7)
+
+
+def test_golden_gd_mms_bdf2_sharded(tmp_path):
+    """gd CLI under 8-way shard_map prints the single-device golden
+    (reference ``mpirun -np N gd_navier_stokes_2d`` parity): the
+    sharded inner solve is the same Newton-Krylov process, so L2
+    errors agree to the golden tolerance."""
+    check_golden("gd_mms_bdf2", 2, tmp_path, solver="gd", n_shards=8)
