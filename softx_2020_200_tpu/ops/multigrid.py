@@ -337,13 +337,26 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
         a fixed-iteration Krylov smooth is robust on nonsymmetric/
         indefinite levels at ~krylov_m matvecs per smooth.  The outer
         Krylov must be FGMRES for either (the bottom solve iterates).
+
+    ``builder.state(u, uprev, fq, alpha0, sdt, fine_mask, mg)`` returns
+    the once-per-linearization pure-array state (per-level restricted
+    states + node-block inverses — the jvp probes and inversions, the
+    expensive part); pass it back as ``builder(..., pstate=...)`` so
+    host-chunked drivers build it ONCE per Newton iteration instead of
+    once per Krylov restart cycle (the fused driver's behavior).
     """
     n_levels = len(level_ops)
 
-    def builder(u, uprev, fq, alpha0, sdt, fine_mask, mg):
-        hcs = [_hc_ops(mg[li]) for li in range(n_levels)]
+    def _level_consts(mgl):
+        # pass EVERY level array through (incl. the pallas geometry
+        # rows pg_xe/pg_h on the fine level) — anything missing here
+        # would fall back to a closure constant and blow up the HLO
+        return {k: v for k, v in mgl.items()
+                if k not in ("bh_mask", "masters", "weights", "inject",
+                             "inj_masters", "inj_weights",
+                             "hc_ids", "hc_masters", "hc_weights")}
 
-        # per-level linearization states
+    def _lin_states(u, uprev, fq, fine_mask, mg):
         states = [(u, uprev, fq, fine_mask)]
         for li in range(1, n_levels):
             uf, upf, _, _ = states[-1]
@@ -361,25 +374,47 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
             fqc = jnp.zeros((op.space.n_elements, op.n_q, op.dim),
                             u.dtype)
             states.append((uc, upc, fqc, mg[li]["bh_mask"]))
+        return states
 
-        mats = []
+    def build_state(u, uprev, fq, alpha0, sdt, fine_mask, mg):
+        from .preconditioners import node_blocks_to_state
+        states = _lin_states(u, uprev, fq, fine_mask, mg)
+        bstates = []
         for li, (ul, upl, fql, mask) in enumerate(states):
             op = level_ops[li]
+            C = _level_consts(mg[li])
+            blocks = op.node_blocks(ul, mask, upl, fql, alpha0, sdt,
+                                    C=C)
+            bstates.append(node_blocks_to_state("block_jacobi", blocks,
+                                                mask))
+        return (tuple((s[0], s[1], s[2]) for s in states),
+                tuple(bstates))
+
+    def builder(u, uprev, fq, alpha0, sdt, fine_mask, mg, pstate=None):
+        from .preconditioners import apply_node_block_state
+        hcs = [_hc_ops(mg[li]) for li in range(n_levels)]
+
+        if pstate is None:
+            pstate = build_state(u, uprev, fq, alpha0, sdt, fine_mask,
+                                 mg)
+        lin, bstates = pstate
+        masks = [fine_mask] + [mg[li]["bh_mask"]
+                               for li in range(1, n_levels)]
+
+        mats = []
+        for li in range(n_levels):
+            ul, upl, fql = lin[li]
+            mask = masks[li]
+            op = level_ops[li]
             hcD, hcT = hcs[li]
-            # pass EVERY level array through (incl. the pallas geometry
-            # rows pg_xe/pg_h on the fine level) — anything missing here
-            # would fall back to a closure constant and blow up the HLO
-            C = {k: v for k, v in mg[li].items()
-                 if k not in ("bh_mask", "masters", "weights", "inject",
-                              "inj_masters", "inj_weights",
-                              "hc_ids", "hc_masters", "hc_weights")}
+            C = _level_consts(mg[li])
             # NB: named sm_apply, NOT 'smoother' — that would shadow the
             # make_vcycle(smoother=...) option inside this scope and
             # silently disable the krylov branch (a bug this renaming
             # fixed; the string compare in smooth() saw a function)
-            blocks = op.node_blocks(ul, mask, upl, fql, alpha0, sdt, C=C)
-            sm_apply = build_from_node_blocks("block_jacobi", blocks,
-                                              mask).apply
+            bst = bstates[li]
+            sm_apply = (lambda v, bst=bst:
+                        apply_node_block_state(bst, v))
 
             def matvec(v, op=op, ul=ul, upl=upl, fql=fql, mask=mask,
                        C=C, hcD=hcD, hcT=hcT):
@@ -445,4 +480,5 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
 
         return lambda v: vcycle(0, v)
 
+    builder.state = build_state
     return builder

@@ -326,17 +326,23 @@ class GLSNavierStokesSolver:
 
     def _chunk_has_pstate(self) -> bool:
         """Pure-array preconditioner state exists for the node-block
-        kinds (not GMG/Schwarz): lets the chunked driver build the
-        preconditioner ONCE per Newton iteration instead of once per
-        Krylov restart cycle, and carry it across iterations under
+        kinds AND for GMG (per-level linearization states + node-block
+        inverses via ``builder.state``): lets the chunked driver build
+        the preconditioner ONCE per Newton iteration instead of once
+        per Krylov restart cycle, and carry it across iterations under
         skip-Newton."""
-        return (self._mg_builder is None
-                and self.precond_kind in ("jacobi", "block_jacobi"))
+        if self._mg_builder is not None:
+            return hasattr(self._mg_builder, "state")
+        return self.precond_kind in ("jacobi", "block_jacobi")
 
     def _chunk_pstate_impl(self, u, uprev_combo, t, alpha0, sdt, C):
         from ..ops.preconditioners import node_blocks_to_state
         _, _, _, mask, fq = self._make_problem(
             uprev_combo, t, alpha0, sdt, C)
+        if self._mg_builder is not None:
+            return self._mg_builder.state(
+                self.hc.distribute(u), uprev_combo, fq, alpha0, sdt,
+                mask, C["mg"])
         blocks = self.op.node_blocks(self.hc.distribute(u), mask,
                                      uprev_combo, fq, alpha0, sdt, C=C)
         blocks = self.bh.slip_project_blocks(blocks)
@@ -346,11 +352,16 @@ class GLSNavierStokesSolver:
                                 uprev_combo, t, alpha0, sdt, C):
         from .newton import newton_linear_cycle
         from ..ops.preconditioners import apply_node_block_state
-        _, residual, _, _, _ = self._make_problem(
+        _, residual, _, mask, fq = self._make_problem(
             uprev_combo, t, alpha0, sdt, C)
+        if self._mg_builder is not None:
+            precond = self._mg_builder(
+                self.hc.distribute(u), uprev_combo, fq, alpha0, sdt,
+                mask, C["mg"], pstate=pstate)
+        else:
+            precond = lambda v: apply_node_block_state(pstate, v)
         return newton_linear_cycle(
-            residual, u, R, x, atol,
-            precond=lambda v: apply_node_block_state(pstate, v),
+            residual, u, R, x, atol, precond=precond,
             config=self.newton_cfg)
 
     def _chunk_init_impl(self, u0, uprev_combo, t, alpha0, sdt, C):
