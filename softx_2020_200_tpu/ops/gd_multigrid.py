@@ -172,11 +172,46 @@ def build_gd_hierarchy(solver, min_elems: int = 64,
             side_bid = {}
             for (_, lf, b) in mesh.boundary_faces:
                 side_bid.setdefault(int(lf), set()).add(int(b))
-            if all(len(v) == 1 for v in side_bid.values()):
-                for row in cmesh.boundary_faces:
-                    ids = side_bid.get(int(row[1]))
-                    if ids:
-                        row[2] = next(iter(ids))
+
+            def _face_centers(m, rows):
+                # corner subset of a local face (axis, side) on the
+                # lex-ordered 2^d cell corners
+                cen = np.empty((len(rows), d))
+                for i, (e, lf, _) in enumerate(rows):
+                    ax, sd = divmod(int(lf), 2)
+                    sel = [c for c in range(2 ** d)
+                           if (c >> ax) & 1 == sd]
+                    cen[i] = m.vertices[m.cells[int(e), sel]].mean(0)
+                return cen
+
+            for row in cmesh.boundary_faces:
+                ids = side_bid.get(int(row[1]))
+                if ids is None:
+                    continue
+                if len(ids) == 1:
+                    row[2] = next(iter(ids))
+            # sides carrying several boundary ids (e.g. an outflow
+            # patch sharing a geometric side with a wall): give each
+            # coarse face the id of the NEAREST fine boundary face so
+            # coarse Dirichlet masks cannot silently swallow an
+            # outlet/Neumann patch
+            mixed = [lf for lf, v in side_bid.items() if len(v) > 1]
+            for lf in mixed:
+                crows = [r for r in cmesh.boundary_faces
+                         if int(r[1]) == lf]
+                frows = [r for r in mesh.boundary_faces
+                         if int(r[1]) == lf]
+                if not crows or not frows:
+                    continue
+                cc = _face_centers(cmesh, crows)
+                fc = _face_centers(mesh, frows)
+                fb = np.fromiter((int(r[2]) for r in frows),
+                                 np.int64, len(frows))
+                near = np.argmin(
+                    ((cc[:, None, :] - fc[None, :, :]) ** 2).sum(-1),
+                    axis=1)
+                for r, j in zip(crows, near):
+                    r[2] = int(fb[j])
             cmesh.periodic = list(mesh.periodic)
             cspace = FESpace(cmesh, degree_v)
             masters, weights, inject = _transfer_maps(prev_space, cspace)

@@ -586,3 +586,58 @@ def test_gd_gmg_beats_block_jacobi():
     nv = s.op.Nv * 2
     dv = np.abs(x_mg[:nv] - x_bj[:nv]).max()
     assert dv < 1e-6, dv
+
+
+def test_gd_gmg_mixed_side_boundary_remap():
+    """A geometric side carrying TWO boundary ids (wall + outlet) must
+    not leave colorize defaults on the coarse levels: each coarse face
+    takes the id of the nearest fine boundary face, so an outlet patch
+    is never swallowed by a coarse Dirichlet mask
+    (reference: ML-AMG inherits BCs from the assembled matrix)."""
+    prm = SimulationParameters.from_text(BASE.format(
+        nu=1.0, refine=4, extra="""
+subsection boundary conditions
+  set number = 4
+  subsection bc 0
+    set id = 0
+    set type = noslip
+  end
+  subsection bc 1
+    set id = 1
+    set type = outlet
+  end
+  subsection bc 2
+    set id = 2
+    set type = noslip
+  end
+  subsection bc 3
+    set id = 3
+    set type = noslip
+  end
+  subsection bc 4
+    set id = 4
+    set type = noslip
+  end
+end
+subsection linear solver
+  set preconditioner = gmg
+end
+"""), dim=2)
+    s = GDNavierStokesSolver(prm)
+    # split the right side (id 1): faces with center y > 0.5 -> id 4
+    mesh = s.op.space_v.mesh
+    for row in mesh.boundary_faces:
+        if int(row[1]) == 1:
+            e = int(row[0])
+            yc = mesh.vertices[mesh.cells[e]][:, 1].mean()
+            if yc > 0.5:
+                row[2] = 4
+    s.setup()
+    assert s.precond_kind == "gmg" and len(s._mg_levels) >= 2
+    cmesh = s._mg_levels[1].space.mesh
+    right = [r for r in cmesh.boundary_faces if int(r[1]) == 1]
+    assert right, "coarse level lost the right side"
+    for r in right:
+        e = int(r[0])
+        yc = cmesh.vertices[cmesh.cells[e]][:, 1].mean()
+        assert int(r[2]) == (4 if yc > 0.5 else 1), (yc, int(r[2]))
