@@ -51,56 +51,95 @@ class HangingConstraints:
 
 
 def build_hanging_constraints(space, nc_faces, dtype=None) -> HangingConstraints:
-    """Derive constraint rows from the forest's non-conforming faces."""
+    """Derive constraint rows from the forest's non-conforming faces.
+
+    Vectorized over ALL faces at once (one ``b1.eval`` call for every
+    constrained point in the mesh) — the per-face/per-node loop this
+    replaces was the measured adaptation hot spot at >=10^5 leaves
+    (26 s of 67 s at 238k leaves, dominated by 361k one-point
+    polynomial evaluations).
+    """
     basis = space.basis
     dim = space.dim
-    k = space.degree
-    n1d = k + 1
+    n1d = basis.b1.n
     pts_1d = basis.b1.points                                # [n1d]
 
-    rows: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for f in nc_faces:
-        axis = f.fine_face // 2
-        taxes = [a for a in range(dim) if a != axis]
-        fine_nodes_l = basis.face_nodes(f.fine_face)        # local ids
-        coarse_nodes_l = basis.face_nodes(f.coarse_face)
-        fine_g = space.elem_nodes[f.fine_elem, fine_nodes_l]
-        coarse_g = space.elem_nodes[f.coarse_elem, coarse_nodes_l]
-        coarse_set = set(int(g) for g in coarse_g)
-
-        # lattice coords of face nodes along tangent axes
-        ij = basis.node_ij
-        for loc, g in zip(fine_nodes_l, fine_g):
-            g = int(g)
-            if g in coarse_set or g in rows:
-                continue
-            # position on the coarse face per fine tangent axis, mapped
-            # through the (possibly rotated/flipped) face frame
-            w = np.ones(len(coarse_nodes_l))
-            for t_i, a in enumerate(taxes):
-                a2, flip, bit = f.tmap[t_i]
-                x_fine = pts_1d[ij[loc, a]]
-                x2 = 1.0 - x_fine if flip else x_fine
-                x_coarse = (bit + x2) / 2.0
-                l1d = basis.b1.eval(np.array([x_coarse]))[0]  # [n1d]
-                w = w * l1d[ij[coarse_nodes_l, a2]]
-            rows[g] = (coarse_g.astype(np.int64), w)
-
-    if not rows:
+    def _empty():
         return HangingConstraints(
             ids=jnp.zeros(0, jnp.int32),
             masters=jnp.zeros((0, 1), jnp.int32),
             weights=jnp.zeros((0, 1)))
-    H = len(rows)
-    M = len(next(iter(rows.values()))[0])
-    ids = np.zeros(H, np.int64)
-    masters = np.zeros((H, M), np.int64)
-    weights = np.zeros((H, M))
-    for i, (g, (mg, w)) in enumerate(sorted(rows.items())):
-        ids[i] = g
-        masters[i] = mg
-        weights[i] = w
+
+    if not nc_faces:
+        return _empty()
+
+    F = len(nc_faces)
+    nt = dim - 1
+    fine_face = np.fromiter((f.fine_face for f in nc_faces),
+                            np.int64, F)
+    coarse_face = np.fromiter((f.coarse_face for f in nc_faces),
+                              np.int64, F)
+    fine_elem = np.fromiter((f.fine_elem for f in nc_faces),
+                            np.int64, F)
+    coarse_elem = np.fromiter((f.coarse_elem for f in nc_faces),
+                              np.int64, F)
+    # tmap rows: (coarse tangent axis, flip, neighbor child bit)
+    tmap = np.array([f.tmap for f in nc_faces],
+                    np.int64).reshape(F, nt, 3)
+    a2, flip, bit = tmap[:, :, 0], tmap[:, :, 1] != 0, tmap[:, :, 2]
+
+    ij = basis.node_ij                                      # [nn, dim]
+    face_tbl = np.stack([basis.face_nodes(fc)
+                         for fc in range(2 * dim)])         # [2d, nfn]
+    nfn = face_tbl.shape[1]
+    # tangent axes of a face, by face-normal axis
+    tax_tbl = np.array([[a for a in range(dim) if a != ax]
+                        for ax in range(dim)], np.int64)    # [dim, nt]
+
+    elem_nodes = np.asarray(space.elem_nodes)
+    fine_l = face_tbl[fine_face]                            # [F, nfn]
+    coarse_l = face_tbl[coarse_face]                        # [F, nfn]
+    fine_g = elem_nodes[fine_elem[:, None], fine_l]         # [F, nfn]
+    coarse_g = elem_nodes[coarse_elem[:, None], coarse_l]   # [F, nfn]
+
+    # nodes shared with the coarse face are masters there, not hanging
+    hang = ~(fine_g[:, :, None] == coarse_g[:, None, :]).any(-1)
+
+    # per fine face-node, lattice index along each fine tangent axis
+    taxes = tax_tbl[fine_face // 2]                         # [F, nt]
+    x_idx = np.take_along_axis(
+        ij[fine_l],                                         # [F,nfn,dim]
+        np.broadcast_to(taxes[:, None, :], (F, nfn, nt)), axis=2)
+    x_fine = pts_1d[x_idx]                                  # [F,nfn,nt]
+    # map through the (possibly rotated/flipped) face frame onto the
+    # coarse face's tangent coordinates
+    x2 = np.where(flip[:, None, :], 1.0 - x_fine, x_fine)
+    x_coarse = (bit[:, None, :] + x2) / 2.0                 # [F,nfn,nt]
+    l1d = basis.b1.eval(x_coarse.ravel()).reshape(F, nfn, nt, n1d)
+
+    # coarse face-node lattice index along each coarse tangent axis
+    c_idx = np.take_along_axis(
+        ij[coarse_l],
+        np.broadcast_to(a2[:, None, :], (F, nfn, nt)), axis=2)
+
+    w = np.ones((F, nfn, nfn))
+    fi = np.arange(F)[:, None, None]
+    li = np.arange(nfn)[None, :, None]
+    for t in range(nt):
+        # w[f, i, j] *= l1d[f, i, t, c_idx[f, j, t]]
+        w = w * l1d[fi, li, t, c_idx[:, None, :, t]]
+
+    g_flat = fine_g[hang]                                   # [K]
+    if g_flat.size == 0:
+        return _empty()
+    w_flat = w[hang]                                        # [K, nfn]
+    m_flat = np.broadcast_to(coarse_g[:, None, :],
+                             (F, nfn, nfn))[hang]           # [K, nfn]
+    # one row per hanging node: keep the FIRST face that constrains it
+    # (face-major order — same tie-break the sequential builder used),
+    # output sorted by global id
+    ids, first = np.unique(g_flat, return_index=True)
     return HangingConstraints(
         ids=jnp.asarray(ids.astype(np.int32)),
-        masters=jnp.asarray(masters.astype(np.int32)),
-        weights=jnp.asarray(weights, dtype))
+        masters=jnp.asarray(m_flat[first].astype(np.int32)),
+        weights=jnp.asarray(w_flat[first], dtype))

