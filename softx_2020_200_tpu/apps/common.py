@@ -111,9 +111,21 @@ def _run_sharded(s: GLSNavierStokesSolver, n_shards: int) -> int:
         # solver against the restored space
         u_g, previous_g = s.read_checkpoint()
         sh = ShardedGLSSolver.from_solver(s, devices=devices)
-        u = sh.to_local(np.asarray(u_g))
-        prevs = jnp.stack([sh.to_local(np.asarray(p))
-                           for p in previous_g])
+        if u_g is None:
+            # manifest-only checkpoint: fields live in per-shard files
+            # (written under ANY device count — reassembled through
+            # this run's layout)
+            import os as _os
+            ck = _os.path.join(prm.simulation_control.output_path,
+                               prm.restart.filename)
+            u_np, prevs_np = ShardedGLSSolver.read_checkpoint_shards(
+                ck, sh.layout, sh.dtype)
+            u = jnp.asarray(u_np)
+            prevs = jnp.asarray(prevs_np)
+        else:
+            u = sh.to_local(np.asarray(u_g))
+            prevs = jnp.stack([sh.to_local(np.asarray(p))
+                               for p in previous_g])
     else:
         u = sh.to_local(np.asarray(u0))
         prevs = jnp.stack([u, u, u])
@@ -124,9 +136,16 @@ def _run_sharded(s: GLSNavierStokesSolver, n_shards: int) -> int:
             and not prm.restart.restart):
         startup_left = target_order - 1
 
+    from ..core.parameters import Verbosity
+
     def host_hooks(u_stack, t):
+        # same print condition as the single-device transient loop
+        # (analytical verbosity OR test mode) — digit-for-digit parity
+        print_l2 = (s.exact is not None
+                    and (prm.analytical_solution.verbosity
+                         is Verbosity.verbose or prm.test.enable))
         needs_host = (
-            (s.exact is not None and prm.test.enable)
+            print_l2
             or prm.forces.calculate_forces
             or prm.forces.calculate_torques
             or prm.post_processing.calculate_kinetic_energy
@@ -136,7 +155,7 @@ def _run_sharded(s: GLSNavierStokesSolver, n_shards: int) -> int:
             return
         ug = jnp.asarray(sh.to_global(u_stack))
         s.postprocess(ug, t)
-        if s.exact is not None and prm.test.enable:
+        if print_l2:
             ev, ep = s.l2_errors(ug, t)
             print(f"L2 error velocity : {ev:.{prec}e}")
         if ctrl.is_output_iteration():
@@ -184,9 +203,13 @@ def _run_sharded(s: GLSNavierStokesSolver, n_shards: int) -> int:
                                for p in out[1:]])
         if prm.restart.checkpoint and \
                 ctrl.iteration % prm.restart.frequency == 0:
-            s.write_checkpoint(
-                jnp.asarray(sh.to_global(u)),
-                [jnp.asarray(sh.to_global(prevs[i])) for i in range(3)])
+            # manifest (forest/control/pvd) + per-shard field files:
+            # no host gather of the global state (reference §5.4)
+            import os as _os
+            s.write_checkpoint(None, None)
+            ck = _os.path.join(prm.simulation_control.output_path,
+                               prm.restart.filename)
+            sh.write_checkpoint_shards(ck, u, prevs)
     s.write_tables()
     if prm.timer.type == "end":
         print(s.timer.report())

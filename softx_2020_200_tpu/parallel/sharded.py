@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1150,6 +1152,76 @@ class ShardedGLSSolver:
 
     def to_global(self, u_stack):
         return self.layout.to_global(np.asarray(u_stack))
+
+    # ------------------------------------------------------------------
+    # per-shard checkpoint (reference §5.4 parallel restart: each rank
+    # serializes its locally-owned slice; no rank ever assembles the
+    # global state)
+    # ------------------------------------------------------------------
+    def write_checkpoint_shards(self, path: str, u_stack,
+                                prevs_stack) -> None:
+        """Shard p writes ONLY its owned rows + their global ids to
+        ``<path>.shard{p}.npz`` (atomic temp+rename).  Host high-water
+        is one shard's slice (~1/P of the global state): shards are
+        pulled off-device one at a time.  The forest/control/pvd
+        manifest is written separately (``write_checkpoint(None, None)``)."""
+        L = self.layout
+        n_prev = int(prevs_stack.shape[0])
+        for p in range(L.n_shards):
+            own = np.asarray(L.owned_mask[p] > 0)
+            gids = L.l2g[p][own]
+            u_p = np.asarray(u_stack[p])[own]          # one-shard pull
+            prev_p = np.stack([np.asarray(prevs_stack[i][p])[own]
+                               for i in range(n_prev)])
+            f = f"{path}.shard{p}.npz"
+            np.savez(f + ".tmp", gids=gids, u=u_p, prev=prev_p)
+            os.replace(f + ".tmp.npz", f)
+        # drop stale files from an earlier run with more shards — the
+        # restore glob must see exactly this checkpoint's set
+        import glob
+        for f in glob.glob(path + ".shard*.npz"):
+            try:
+                p = int(f.rsplit(".shard", 1)[1].split(".")[0])
+            except ValueError:
+                continue
+            if p >= L.n_shards:
+                os.remove(f)
+
+    @staticmethod
+    def read_checkpoint_shards(path: str, layout, dtype):
+        """Reassemble local stacks from per-shard files written under
+        ANY device count: every valid local row (owned AND ghost) is
+        filled from whichever old shard owned it, so no ghost refresh
+        is needed before stepping.  Streams one old file at a time."""
+        import glob
+        files = sorted(glob.glob(path + ".shard*.npz"))
+        if not files:
+            raise FileNotFoundError(path + ".shard*.npz")
+        P, N_loc = layout.n_shards, layout.N_loc
+        with np.load(files[0]) as d0:
+            c = d0["u"].shape[-1]
+            n_prev = d0["prev"].shape[0]
+        u = np.zeros((P, N_loc, c), dtype)
+        prevs = np.zeros((n_prev, P, N_loc, c), dtype)
+        valid = [layout.l2g[q] >= 0 for q in range(P)]
+        for f in files:
+            with np.load(f) as d:
+                gids, u_p, prev_p = d["gids"], d["u"], d["prev"]
+            order = np.argsort(gids)
+            gs = gids[order]
+            for q in range(P):
+                rows = layout.l2g[q][valid[q]]
+                pos = np.searchsorted(gs, rows)
+                posc = np.minimum(pos, len(gs) - 1)
+                hit = (pos < len(gs)) & (gs[posc] == rows)
+                if not hit.any():
+                    continue
+                li = np.nonzero(valid[q])[0][hit]
+                src = order[posc[hit]]
+                u[q, li] = u_p[src]
+                for i in range(n_prev):
+                    prevs[i, q, li] = prev_p[i][src]
+        return u, prevs
 
     def solve(self, u0_global, bc_mask_global=None, bc_vals_global=None,
               uprev_combo_global=None, alpha0=0.0, sdt=0.0, t=0.0):

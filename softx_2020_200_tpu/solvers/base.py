@@ -1146,10 +1146,15 @@ class GLSNavierStokesSolver:
                 extras["forest_leaves"] = np.asarray(rows, np.int64)
                 extras["base_vertices"] = self.forest.base.vertices
                 extras["base_cells"] = self.forest.base.cells
+            if u is not None:
+                extras["u"] = np.asarray(u)
+                extras["previous"] = np.stack(
+                    [np.asarray(p) for p in previous])
+            # u=None: manifest-only (forest/control/pvd) — the sharded
+            # CLI stores fields in per-shard files (reference §5.4
+            # parallel restart; write high-water ~1/P of global state)
             np.savez(
                 tmp,
-                u=np.asarray(u),
-                previous=np.stack([np.asarray(p) for p in previous]),
                 control=json.dumps(self.control.serialize()),
                 pvd=json.dumps(self.pvd.serialize()),
                 n_nodes=self.space.n_nodes,
@@ -1187,6 +1192,8 @@ class GLSNavierStokesSolver:
             raise ValueError("checkpoint does not match current mesh/space")
         self.control.deserialize(json.loads(str(data["control"])))
         self.pvd.deserialize(json.loads(str(data["pvd"])))
+        if "u" not in data:          # manifest-only (sharded fields)
+            return None, None
         u = jnp.asarray(data["u"])
         previous = [jnp.asarray(p) for p in data["previous"]]
         return u, previous

@@ -153,3 +153,18 @@ def test_golden_gd_mms_bdf2_sharded(tmp_path):
     sharded inner solve is the same Newton-Krylov process, so L2
     errors agree to the golden tolerance."""
     check_golden("gd_mms_bdf2", 2, tmp_path, solver="gd", n_shards=8)
+
+
+def test_golden_restart_sharded_cross_device_count(tmp_path):
+    """Per-shard checkpoint files (reference parallel restart, §5.4):
+    leg A runs 4-way and writes manifest + one file per shard (never
+    assembling the global state on host); leg B restores 8-way from
+    the same files and must print the single-device restart golden."""
+    run_deck("restart_adaptive_a", 2, tmp_path, n_shards=4)
+    assert (tmp_path / "restart_adaptive.shard3.npz").exists()
+    assert not (tmp_path / "restart_adaptive.shard4.npz").exists()
+    import numpy as np
+    man = np.load(tmp_path / "restart_adaptive.npz")
+    assert "u" not in man, "manifest must not hold the global field"
+    out = run_deck("restart_adaptive_b", 2, tmp_path, n_shards=8)
+    check_golden("restart_adaptive_b", 2, tmp_path, out=out)
