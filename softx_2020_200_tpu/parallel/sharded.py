@@ -1338,7 +1338,14 @@ class ShardedGLSSolver:
         hist[0] = rn
         it = lin_total = 0
         n_flat = u.shape[-2] * u.shape[-1]
-        while rn > cfg.tolerance and it < cfg.max_iterations:
+        def _stalled():
+            # windowed f32-floor guard (NewtonConfig.stall_window)
+            W = cfg.stall_window
+            return it >= W and rn > cfg.stall_factor * hist[it - W]
+
+        u_best, n_best = u, rn     # best-iterate tracking (newton.py)
+        while (rn > cfg.tolerance and it < cfg.max_iterations
+               and not _stalled()):
             atol = jnp.asarray(
                 max(cfg.relative_residual * rn, cfg.minimum_residual),
                 self.dtype)
@@ -1373,7 +1380,9 @@ class ShardedGLSSolver:
             rn = float(np.asarray(rnorm)[0])
             it += 1
             hist[it] = rn
-        u = self._chunk_jit["finalize"](u, *args)
+            if rn < n_best:
+                u_best, n_best = u, rn
+        u = self._chunk_jit["finalize"](u_best, *args)
         return (u, jnp.asarray(np.tile(hist, (Pn, 1)), self.dtype),
                 jnp.full((Pn,), it), jnp.full((Pn,), lin_total))
 

@@ -470,7 +470,15 @@ class GLSNavierStokesSolver:
         skip = (max(1, cfg.skip_iterations)
                 if self.prm.nonlinear_solver.solver == "skip_newton"
                 else 1)
-        while rn > cfg.tolerance and it < cfg.max_iterations:
+        def _stalled():
+            # windowed f32-floor guard (NewtonConfig.stall_window)
+            W = cfg.stall_window
+            return it >= W and rn > cfg.stall_factor * hist[it - W]
+
+        u_best, n_best = u, rn     # best-iterate tracking (see
+        #                            newton.py body — same semantics)
+        while (rn > cfg.tolerance and it < cfg.max_iterations
+               and not _stalled()):
             # linear solve, host-chunked at the restart-cycle level: one
             # device program per GMRES(m) cycle (<= gmres_restart
             # matvecs each) so no single program can outlive the
@@ -509,6 +517,9 @@ class GLSNavierStokesSolver:
             it += 1
             hist[it] = rn
             alphas[it - 1] = float(alpha)
+            if rn < n_best:
+                u_best, n_best = u, rn
+        u = u_best
         if self.hc.n:
             u = jax.jit(self.hc.distribute)(u)
         from .newton import NewtonResult
@@ -643,7 +654,17 @@ class GLSNavierStokesSolver:
         hist[0] = rs
         lin_total = 0
         k = 0
-        while rs > cfg.tolerance and k < maxk:
+        def _ptc_stalled():
+            # windowed f32-floor guard, active once the pseudo-step is
+            # effectively infinite (the PTC residual is not monotone
+            # while dt ramps)
+            W = cfg.stall_window
+            return (dt >= nls.ptc_max_dt and k >= W
+                    and rs > cfg.stall_factor * hist[k - W])
+
+        u_best, n_best = u, rs     # best-iterate tracking (newton.py)
+        while (rs > cfg.tolerance and k < maxk
+               and not _ptc_stalled()):
             alpha0 = 1.0 / dt
             combo = -u[:, :d] * alpha0
             _, Rbe, rbe = self._chunk_init_jit(u, combo, 0.0, alpha0,
@@ -686,13 +707,15 @@ class GLSNavierStokesSolver:
             k += 1
             hist[k] = rs
             alphas[k - 1] = float(alpha)
+            if rs < n_best:
+                u_best, n_best = u, rs
             if verbose:
                 prec = self.prm.simulation_control.log_precision
                 print(f"PTC step {k:3d}  dt = {dt:.3e}  "
                       f"Residual: {rs:.{prec}e}")
         from .newton import NewtonResult
         return NewtonResult(
-            u=u, res_history=jnp.asarray(hist, u.dtype),
+            u=u_best, res_history=jnp.asarray(hist, u.dtype),
             n_iterations=jnp.asarray(k),
             linear_iters=jnp.asarray(lin_total),
             alphas=jnp.asarray(alphas, u.dtype))

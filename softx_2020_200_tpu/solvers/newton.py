@@ -41,6 +41,22 @@ class NewtonConfig:
     minimum_residual: float = 1e-10
     # preconditioner refresh cadence (1 = every iteration; >1 = skip-Newton)
     skip_iterations: int = 1
+    # floating-point floor stagnation: stop when the last `stall_window`
+    # Newton steps together reduced ||R|| by less than a factor
+    # 1/`stall_factor`.  In f32 the assembled residual carries an
+    # absolute noise floor (cancellation of O(1) element contributions,
+    # ~1e-6 for O(1) data); when `tolerance` sits below it the iteration
+    # grinds at rate ~1 with the line search collapsing — measured on
+    # the config-#5 sphere (scripts/diag_newton_rate.py: res stalls at
+    # 1.85e-6 with alpha -> 1/16 while lin solves converge).  Stopping
+    # there is the honest f32 analogue of the reference's f64 1e-6.
+    # The factor is deliberately conservative (stop only when 4 steps
+    # together gain < 10%): an 0.5 factor measurably degraded transient
+    # f32 L2 errors by clipping slow-but-real tail convergence
+    # (mms_bdf2 CLI A/B, round 4), while at the floor the 4-step
+    # product is 0.97-1.00 and still trips this.
+    stall_window: int = 4
+    stall_factor: float = 0.9
     # FGMRES (required when the preconditioner itself iterates, e.g. the
     # multigrid bottom-level Krylov solve)
     flexible: bool = False
@@ -158,7 +174,8 @@ def newton_solve(residual_fn: Callable, u0, *,
     skip = max(1, config.skip_iterations)
 
     def body(state):
-        u, R, rnorm, it, lin_total, hist, alphas, pstate = state
+        (u, R, rnorm, it, lin_total, hist, alphas, pstate,
+         u_best, n_best) = state
 
         # matrix-free Jacobian-vector products at the current iterate:
         # LINEARIZE once per Newton iteration so the per-matvec work is
@@ -218,12 +235,26 @@ def newton_solve(residual_fn: Callable, u0, *,
         u_new = u + alpha * d
         hist = hist.at[it + 1].set(nt)
         alphas = alphas.at[it].set(alpha)
+        # best-iterate tracking: when max_halvings exhausts, the step is
+        # taken even if ||R|| grew (reference line-search semantics), so
+        # near the f32 floor the iteration can limit-cycle; returning
+        # the minimum-||R|| iterate makes the result the best visited
+        # point instead of wherever the cycle stopped.  Monotone solves
+        # (every f64 golden) have best == last, so outputs are unchanged.
+        better = nt < n_best
+        u_best = jnp.where(better, u_new, u_best)
+        n_best = jnp.where(better, nt, n_best)
         return (u_new, Rt, nt, it + 1, lin_total + lin_it, hist, alphas,
-                pstate)
+                pstate, u_best, n_best)
 
     def cond(state):
-        rnorm, it = state[2], state[3]
-        return (rnorm > config.tolerance) & (it < maxit)
+        rnorm, it, hist = state[2], state[3], state[5]
+        W = config.stall_window
+        # windowed floor-stagnation guard (see NewtonConfig.stall_window)
+        ref = lax.dynamic_index_in_dim(
+            hist, jnp.maximum(it - W, 0), keepdims=False)
+        stalled = (it >= W) & (rnorm > config.stall_factor * ref)
+        return (rnorm > config.tolerance) & (it < maxit) & ~stalled
 
     R0 = residual_fn(u0)
     n0 = norm(R0)
@@ -231,7 +262,9 @@ def newton_solve(residual_fn: Callable, u0, *,
     alphas0 = jnp.full(maxit, jnp.nan, dtype=u0.dtype)
     pstate0 = precond_state_fn(u0) if stateful else 0
 
-    u, R, rnorm, it, lin_total, hist, alphas, _ = lax.while_loop(
-        cond, body, (u0, R0, n0, 0, 0, hist0, alphas0, pstate0))
-    return NewtonResult(u=u, res_history=hist, n_iterations=it,
+    (u, R, rnorm, it, lin_total, hist, alphas, _, u_best,
+     n_best) = lax.while_loop(
+        cond, body, (u0, R0, n0, 0, 0, hist0, alphas0, pstate0,
+                     u0, n0))
+    return NewtonResult(u=u_best, res_history=hist, n_iterations=it,
                         linear_iters=lin_total, alphas=alphas)

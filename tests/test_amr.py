@@ -138,6 +138,7 @@ def test_kelly_estimator_flags_sharp_region():
     assert rmask.sum() == round(0.1 * space.n_elements)
 
 
+@pytest.mark.slow
 def test_steady_amr_cycles_couette():
     """Steady kelly cycles on an exact-solution problem stay exact and
     the hanging-node solve converges."""
@@ -297,6 +298,7 @@ end
 """
 
 
+@pytest.mark.slow
 def test_cylinder_transient_kelly_amr():
     """Config #3 machinery end-to-end: transient BDF2 on the cylinder
     O-ring mesh (rotated seam) with Kelly adaptation mid-run, BDF

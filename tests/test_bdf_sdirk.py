@@ -71,6 +71,7 @@ def test_sdirk3_order_conditions():
     assert (b @ c**2) == pytest.approx(1.0 / 3.0, abs=1e-8)
 
 
+@pytest.mark.slow
 def test_bdf2_startup_substeps_improve_first_step():
     """`startup time scaling` sub-steps the first BDF2 step (reference
     first_iteration(), SURVEY §2.1/§3.2): the first-step L2 error must

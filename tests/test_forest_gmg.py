@@ -180,6 +180,7 @@ end
 """
 
 
+@pytest.mark.slow
 def test_forest_gmg_on_multiblock_cylinder():
     """Rotated-adjacency multiblock mesh (the O-ring cylinder channel):
     the forest hierarchy builds and a Newton step converges with fewer

@@ -344,6 +344,7 @@ end
     assert f[0] > 0, f"drag should be positive, got {f}"
 
 
+@pytest.mark.slow
 def test_cylinder_kelly_adaptation_keeps_cells_valid():
     """Transient Kelly adaptation on the O-ring cylinder mesh: every
     adapted mesh keeps strictly positive jacobians.  Regression: leaf

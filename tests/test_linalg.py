@@ -71,3 +71,61 @@ def test_bicgstab():
                                max_iters=500)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_newton_stops_at_noise_floor():
+    """Floor-stagnation guard (NewtonConfig.stall_rate): a residual with
+    an O(eps) non-smooth noise term stalls at ||R|| ~ eps; the driver
+    must stop after `stall_iterations` no-progress steps instead of
+    burning max_iterations (measured flagship behavior, f32 floor —
+    scripts/diag_newton_rate.py)."""
+    from softx_2020_200_tpu.solvers.newton import (NewtonConfig,
+                                                   newton_solve)
+
+    eps = 1e-6
+    b = jnp.asarray(np.linspace(0.7, 1.3, 8))[:, None]
+
+    @jax.custom_jvp
+    def residual(u):
+        # smooth part solves to u = b; the sin term is an O(eps)
+        # noise floor.  Its derivative is NOT in the tangent (like f32
+        # roundoff noise, it is invisible to the linearization).
+        return (u - b) + eps * jnp.sin(u / eps)
+
+    @residual.defjvp
+    def _jvp(primals, tangents):
+        (u,), (du,) = primals, tangents
+        return residual(u), du
+
+    cfg = NewtonConfig(tolerance=1e-12, max_iterations=60,
+                       relative_residual=1e-6)
+    res = newton_solve(residual, jnp.zeros_like(b),
+                       precond_builder=lambda u: (lambda v: v),
+                       config=cfg)
+    rn = float(res.res_history[res.n_iterations])
+    assert rn < 50 * eps                       # reached the floor
+    assert int(res.n_iterations) < 45          # stopped there, did not
+    #                                            grind to max_iterations
+    # best-iterate guarantee: the returned u is (at least) as good as
+    # every iterate the walk visited
+    rn_ret = float(jnp.sqrt(jnp.sum(residual(res.u) ** 2)))
+    assert rn_ret <= 1.001 * float(jnp.nanmin(res.res_history))
+
+
+def test_newton_stall_guard_does_not_fire_on_healthy_solve():
+    """The guard must not clip a normally converging Newton: smooth
+    problem reaches `tolerance` exactly as before."""
+    from softx_2020_200_tpu.solvers.newton import (NewtonConfig,
+                                                   newton_solve)
+
+    b = jnp.asarray(np.linspace(0.5, 1.5, 6))[:, None]
+
+    def residual(u):
+        return u ** 3 + u - b
+
+    cfg = NewtonConfig(tolerance=1e-10, max_iterations=30,
+                       relative_residual=1e-10)
+    res = newton_solve(residual, jnp.zeros_like(b),
+                       precond_builder=lambda u: (lambda v: v),
+                       config=cfg)
+    assert float(res.res_history[res.n_iterations]) <= 1e-10

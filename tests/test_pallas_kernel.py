@@ -17,7 +17,11 @@ from softx_2020_200_tpu.ops.pallas_gls import PallasGLS
 from softx_2020_200_tpu.ops.operators import gather_elements
 
 
-@pytest.mark.parametrize("dim,refine", [(2, 3), (3, 2)])
+@pytest.mark.parametrize("dim,refine", [
+    (2, 2),                                            # fast smoke
+    pytest.param(2, 3, marks=pytest.mark.slow),
+    pytest.param(3, 2, marks=pytest.mark.slow),
+])
 def test_pallas_matches_xla(dim, refine):
     mesh = hyper_cube(0.0, 1.0, colorize=True, dim=dim).refine_uniform(refine)
     space = FESpace(mesh, 1)

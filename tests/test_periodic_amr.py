@@ -132,6 +132,7 @@ def test_periodic_seam_hanging_constraints_and_solve():
     assert ev < 1e-9, f"periodic+AMR Poiseuille error {ev}"
 
 
+@pytest.mark.slow
 def test_periodic_kelly_cycle_runs():
     """A full Kelly cycle through the engine on the periodic deck."""
     prm = SimulationParameters.from_text(PERIODIC_KELLY_DECK, dim=2)

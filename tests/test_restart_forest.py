@@ -97,6 +97,7 @@ def _mk(outdir, t_end, checkpoint, restart, fname="ck"):
     return GLSNavierStokesSolver(prm)
 
 
+@pytest.mark.slow
 def test_kelly_restart_matches_uninterrupted(tmp_path):
     """Run 10 steps with AMR (checkpoint at step 8), then restart a
     FRESH solver from the checkpoint and continue — steps 9-10 must
