@@ -63,6 +63,10 @@ def _lex_indices(n1d: int, dim: int) -> np.ndarray:
     return idx
 
 
+# (dim, degree, nq, pts-bytes) -> (B, G, H); see TensorBasis.tabulate
+_TABULATE_CACHE: dict = {}
+
+
 class TensorBasis:
     """Qk tensor-product basis on [0,1]^dim with full tabulation support."""
 
@@ -82,8 +86,27 @@ class TensorBasis:
 
         Returns (B[nq,nn], G[nq,nn,dim], H[nq,nn,dim,dim]) — reference-
         coordinate derivatives.
+
+        Memoized module-wide by (dim, degree, pts): every FESpace /
+        GMG level / transfer space creates a fresh TensorBasis, and an
+        adaptation cycle re-tabulates the same few point sets dozens of
+        times (74 calls / 7 s of a profiled 50 s adapt).  Results are
+        read-only views.
         """
         pts = np.asarray(pts, dtype=np.float64)
+        key = (self.dim, self.degree, pts.shape[0], pts.tobytes())
+        hit = _TABULATE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        out = self._tabulate_impl(pts)
+        for a in out:
+            a.setflags(write=False)
+        if len(_TABULATE_CACHE) > 256:
+            _TABULATE_CACHE.clear()
+        _TABULATE_CACHE[key] = out
+        return out
+
+    def _tabulate_impl(self, pts: np.ndarray):
         nq = pts.shape[0]
         # per-axis 1D tables: val[d][nq, n1d], d1[d], d2[d]
         val = [self.b1.eval(pts[:, d], 0) for d in range(self.dim)]

@@ -19,11 +19,14 @@ def mapping_jacobian(xe, G):
     return jnp.einsum("eni,qnj->eqij", xe, G)
 
 
-def det_and_inv(J):
+def det_and_inv(J, xp=jnp):
     """Closed-form determinant and inverse for batched 2x2 / 3x3 matrices.
 
     Small fixed-size matrices: closed form fuses into the surrounding
     kernel instead of calling batched LAPACK-style routines.
+    ``xp``: array module — jnp (default) inside kernels, or numpy for
+    host-side paths (the Kelly estimator) that must not trigger
+    device compiles.
     """
     d = J.shape[-1]
     if d == 1:
@@ -35,9 +38,9 @@ def det_and_inv(J):
         c, e = J[..., 1, 0], J[..., 1, 1]
         det = a * e - b * c
         idet = 1.0 / det
-        inv = jnp.stack([
-            jnp.stack([e * idet, -b * idet], axis=-1),
-            jnp.stack([-c * idet, a * idet], axis=-1),
+        inv = xp.stack([
+            xp.stack([e * idet, -b * idet], axis=-1),
+            xp.stack([-c * idet, a * idet], axis=-1),
         ], axis=-2)
         return det, inv
     if d == 3:
@@ -53,16 +56,16 @@ def det_and_inv(J):
         c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
         det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02)
         idet = 1.0 / det
-        inv = jnp.stack([
-            jnp.stack([c00, c10, c20], axis=-1),
-            jnp.stack([c01, c11, c21], axis=-1),
-            jnp.stack([c02, c12, c22], axis=-1),
+        inv = xp.stack([
+            xp.stack([c00, c10, c20], axis=-1),
+            xp.stack([c01, c11, c21], axis=-1),
+            xp.stack([c02, c12, c22], axis=-1),
         ], axis=-2) * idet[..., None, None]
         return det, inv
     raise ValueError(f"unsupported dim {d}")
 
 
-def face_measure_and_normal(J, face: int):
+def face_measure_and_normal(J, face: int, xp=jnp):
     """Surface measure (Jacobian of the face parametrization) and outward
     unit normal at face quad points, from the volume mapping Jacobian J
     evaluated at the face points.
@@ -75,23 +78,23 @@ def face_measure_and_normal(J, face: int):
     if d == 2:
         t_axis = 1 - axis
         t = J[..., :, t_axis]                         # tangent vector
-        meas = jnp.linalg.norm(t, axis=-1)
+        meas = xp.linalg.norm(t, axis=-1)
         # rotate tangent by -90deg/+90deg to get outward normal
-        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+        n = xp.stack([t[..., 1], -t[..., 0]], axis=-1)
         # orientation: outward means pointing away from cell interior.
         # For face x_axis = 0 the outward dir is -dx/dxi_axis.
         ref = J[..., :, axis] * sign
-        flip = jnp.sign(jnp.sum(n * ref, axis=-1, keepdims=True))
+        flip = xp.sign(xp.sum(n * ref, axis=-1, keepdims=True))
         n = n * flip / meas[..., None]
         return meas, n
     if d == 3:
         taxes = [a for a in range(3) if a != axis]
         t1 = J[..., :, taxes[0]]
         t2 = J[..., :, taxes[1]]
-        n = jnp.cross(t1, t2)
-        meas = jnp.linalg.norm(n, axis=-1)
+        n = xp.cross(t1, t2)
+        meas = xp.linalg.norm(n, axis=-1)
         ref = J[..., :, axis] * sign
-        flip = jnp.sign(jnp.sum(n * ref, axis=-1, keepdims=True))
+        flip = xp.sign(xp.sum(n * ref, axis=-1, keepdims=True))
         n = n * flip / meas[..., None]
         return meas, n
     raise ValueError(f"unsupported dim {d}")

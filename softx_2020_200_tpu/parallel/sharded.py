@@ -87,7 +87,8 @@ class ShardedGLSSolver:
                  kernel: str = "xla", precond: str = "block_jacobi",
                  source_fn=None, bc_exprs=None, bc_mask=None, mg=None,
                  hc=None, mg_smoother: str = "jacobi",
-                 mg_krylov_m: int = 4):
+                 mg_krylov_m: int = 4, strike_parent=None,
+                 gmg_strikes: int = 0):
         """kernel:   'xla' | 'pallas' | 'pallas_interpret'
         precond:  'jacobi' | 'block_jacobi' | 'gmg'
         source_fn: traceable (qpts[..., d], t) -> [..., d] body force
@@ -116,6 +117,11 @@ class ShardedGLSSolver:
         dtype = dtype or jnp.asarray(1.0).dtype
         self.dtype = dtype
         self.source_fn = source_fn
+        # GMG stagnation strikes, mirrored to the single-device solver
+        # this was wired from (from_solver) so eviction survives the
+        # re-shard after every Kelly cycle
+        self._gmg_strikes = int(gmg_strikes)
+        self._strike_parent = strike_parent
 
         n_q1d = n_q1d or (space.degree + 1)
         pts, wts, B, G, H = space.basis.quadrature(n_q1d)
@@ -317,6 +323,13 @@ class ShardedGLSSolver:
         family, and Newton settings."""
         precond = precond or solver.precond_kind
         mg = None
+        # stagnation strikes carry over BOTH ways (see solvers/base.py
+        # setup): a permanently evicted GMG stays evicted across the
+        # re-shard after each Kelly cycle instead of re-wiring +
+        # re-stagnating every cycle
+        strikes = getattr(solver, "_gmg_strikes", 0)
+        if precond == "gmg" and strikes >= 2:
+            precond = "block_jacobi"
         if precond == "gmg":
             if getattr(solver, "_mg_ops", None):
                 mg = (solver._mg_ops, solver._mg_consts)
@@ -347,7 +360,8 @@ class ShardedGLSSolver:
             mg_smoother=ls.resolved_mg_smoother(
                 solver.control.is_steady(),
                 degree=solver.space.degree),
-            mg_krylov_m=ls.mg_krylov_vectors)
+            mg_krylov_m=ls.mg_krylov_vectors,
+            strike_parent=solver, gmg_strikes=strikes)
 
     # ------------------------------------------------------------------
     def _augment_mask(self, bc_mask_global):
@@ -1285,6 +1299,10 @@ class ShardedGLSSolver:
         print("linear solver: GMG stagnated (linear budget exhausted); "
               "falling back to block-Jacobi preconditioning")
         self._gmg_strikes = getattr(self, "_gmg_strikes", 0) + 1
+        if self._strike_parent is not None:
+            self._strike_parent._gmg_strikes = max(
+                getattr(self._strike_parent, "_gmg_strikes", 0),
+                self._gmg_strikes)
         self._gmg_stash = (self._mg_ops, self._mg_rep,
                            self.precond_kind)
         self._mg_ops = None

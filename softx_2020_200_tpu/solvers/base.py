@@ -180,11 +180,19 @@ class GLSNavierStokesSolver:
         self.precond_kind = ls.resolved_preconditioner()
         self._mg_builder = None
         # a mesh rebuild invalidates any stashed fallen-back GMG state
-        # (its level ops/transfers belong to the OLD mesh) and resets
-        # the stagnation strikes: a new mesh gets a fresh GMG chance,
-        # exactly like the reference rebuilding ILU/AMG per mesh
+        # (its level ops/transfers belong to the OLD mesh).  The strike
+        # count SURVIVES adaptation: once GMG was evicted twice the
+        # regime (steady strongly-convective — config #5) does not
+        # change because the mesh refined, and rebuilding + recompiling
+        # the hierarchy each Kelly cycle just to stagnate again cost
+        # the flagship ~2x its linear-iteration budget per cycle plus
+        # the relay compile bill of the V-cycle programs.
         self._gmg_stash = None
-        self._gmg_strikes = 0
+        self._gmg_strikes = getattr(self, "_gmg_strikes", 0)
+        if self.precond_kind == "gmg" and self._gmg_strikes >= 2:
+            print("linear solver: GMG stays evicted on the adapted mesh "
+                  "(2 stagnation strikes); using block-Jacobi")
+            self.precond_kind = "block_jacobi"
         if self.precond_kind == "gmg":
             from ..ops.multigrid import build_hierarchy, make_vcycle
             self._mg_ops, self._mg_consts = build_hierarchy(self)
@@ -1027,10 +1035,46 @@ class GLSNavierStokesSolver:
     # ------------------------------------------------------------------
     # postprocessing (reference: postprocess() in §3.1/3.2 call stacks)
     # ------------------------------------------------------------------
+    def _pin_pressure(self, u):
+        """Remove the constant-pressure nullspace component before force
+        and torque integration on decks where nothing fixes the pressure
+        level (no outlet BC): on all-Dirichlet problems the discrete GLS
+        system leaves the constant mode free, so the Newton path (driver
+        variant, device count, f32 vs f64) would otherwise leak an
+        arbitrary offset into the pressure-containing force components
+        (Fx on x-walls, Fy on y-walls).  The analytical-solution L2 path
+        already mean-shifts pressure; this is the forces analogue.
+        Volume-weighted mean via the operator's quadrature (host NumPy —
+        one shot per output step, no device compiles)."""
+        from ..core.parameters import BoundaryType
+        if any(bc.type == BoundaryType.outlet
+               for bc in self.prm.boundary_conditions.bcs):
+            return u
+        cache = getattr(self, "_pin_cache", None)
+        if cache is None or cache[0] is not self.op:
+            op = self.op
+            J = np.einsum("eni,qnj->eqij", np.asarray(op.xe, np.float64),
+                          np.asarray(op.G, np.float64))
+            wdet = np.linalg.det(J) * np.asarray(op.w, np.float64)
+            cache = (op, wdet, float(wdet.sum()),
+                     np.asarray(op.B, np.float64))
+            self._pin_cache = cache
+        _, wdet, vol, B = cache
+        u_np = np.asarray(u)
+        pe = u_np[np.asarray(self.op.elem_nodes), -1]        # [E, nn]
+        pq = np.einsum("qn,en->eq", B, pe)
+        mean = float(np.sum(wdet * pq) / vol)
+        return jnp.asarray(u_np - mean * np.eye(u_np.shape[1])[-1],
+                           dtype=u.dtype if hasattr(u, "dtype") else None)
+
     def postprocess(self, u, t: float) -> None:
         prm = self.prm
         prec = prm.forces.output_precision
         it = self.control.iteration
+        if (prm.forces.calculate_forces
+                or prm.forces.calculate_torques) and \
+                it % prm.forces.calculation_frequency == 0:
+            u = self._pin_pressure(u)
         if prm.forces.calculate_forces and \
                 it % prm.forces.calculation_frequency == 0:
             with self.timer.section("calculate_forces"):

@@ -760,6 +760,27 @@ class GDNavierStokesSolver:
         return x
 
     # ------------------------------------------------------------------
+    def _pin_pressure(self, x):
+        """Zero the volume-weighted mean pressure before force/torque
+        integration when no outlet BC fixes the pressure level — the
+        GD analogue of GLSNavierStokesSolver._pin_pressure (see there
+        for why: the constant mode is free on all-Dirichlet decks and
+        would leak a Newton-path-dependent offset into the pressure-
+        containing force components)."""
+        from ..core.parameters import BoundaryType
+        if any(bc.type == BoundaryType.outlet
+               for bc in self.prm.boundary_conditions.bcs):
+            return x
+        op = self.op
+        v, p = op.split(x)
+        J = np.einsum("eni,qnj->eqij", np.asarray(op.xe, np.float64),
+                      np.asarray(op.Gv, np.float64))
+        wdet = np.linalg.det(J) * np.asarray(op.w, np.float64)
+        pe = np.asarray(p)[np.asarray(op.conn_p)]
+        pq = np.einsum("qn,en->eq", np.asarray(op.Bp, np.float64), pe)
+        mean = float(np.sum(wdet * pq) / wdet.sum())
+        return op.join(v, p - mean)
+
     def postprocess(self, x, t: float) -> None:
         from ..utils.tables import Table
         from ..core.parameters import Verbosity
@@ -768,6 +789,9 @@ class GDNavierStokesSolver:
         prec = prm.forces.output_precision
         it = self.control.iteration
         sv = self.op.space_v
+        if (prm.forces.calculate_forces or prm.forces.calculate_torques) \
+                and it % prm.forces.calculation_frequency == 0:
+            x = self._pin_pressure(x)
         if prm.forces.calculate_forces and \
                 it % prm.forces.calculation_frequency == 0:
             for bid, faces in sorted(sv.boundary_faces.items()):

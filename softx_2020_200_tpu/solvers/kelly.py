@@ -11,16 +11,15 @@ adjacency (O-ring seams, gmsh meshes) is handled by matching the two
 sides' physical quadrature points; 2:1 NON-conforming interfaces
 contribute too (deal.II's Kelly integrates them from the fine side,
 evaluating the coarse gradient at mapped reference points).
-Evaluation is batched jnp per static-shape group.
+Evaluation is batched NumPy per static-shape group (see
+kelly_estimate's docstring for why it is host-side on purpose).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..fem.geometry import det_and_inv, face_measure_and_normal
-from ..ops.operators import gather_elements
 
 
 def conforming_face_pairs(space):
@@ -78,7 +77,14 @@ def _face_quad_perms(space, pairs, fp, fm, n_q1d):
 
 def kelly_estimate(op, u, variable: str = "velocity",
                    pairs=None, nc_faces=None) -> np.ndarray:
-    """Per-element eta_K (host numpy array [E])."""
+    """Per-element eta_K (host numpy array [E]).
+
+    Pure NumPy by design: the estimator runs once per adaptation with
+    shapes that change every cycle, so a jnp version recompiles ~36+
+    face-group programs per cycle — through the TPU relay that compile
+    bill (not the flops) dominated the flagship's 1065 s adapt step.
+    One [N, c] device->host transfer, then host einsums.
+    """
     space = op.space
     d = op.dim
     if pairs is None:
@@ -87,23 +93,27 @@ def kelly_estimate(op, u, variable: str = "velocity",
     comp = slice(0, d) if variable == "velocity" else slice(d, d + 1)
     n_q1d = space.degree + 1
 
+    u_np = np.asarray(u, np.float64)
+    xe_np = np.asarray(op.xe, np.float64)
+    en_np = np.asarray(op.elem_nodes)
+
     def side_grad(elems, G_):
-        xe = op.xe[elems]
-        ue = gather_elements(u, op.elem_nodes[elems])[..., comp]
-        J = jnp.einsum("fni,qnj->fqij", xe, G_)
-        detJ, Jinv = det_and_inv(J)
-        du = jnp.einsum("qna,fnc->fqca", G_, ue)
-        grad = jnp.einsum("fqca,fqai->fqci", du, Jinv)
+        xe = xe_np[elems]
+        ue = u_np[en_np[elems]][..., comp]
+        J = np.einsum("fni,qnj->fqij", xe, G_)
+        detJ, Jinv = det_and_inv(J, xp=np)
+        du = np.einsum("qna,fnc->fqca", G_, ue)
+        grad = np.einsum("fqca,fqai->fqci", du, Jinv)
         return grad, J
 
     def side_grad_at(elems, G_pts):
         """Gradient at PER-FACE tabulated points G_pts [F, q, nn, d]."""
-        xe = op.xe[elems]
-        ue = gather_elements(u, op.elem_nodes[elems])[..., comp]
-        J = jnp.einsum("fni,fqnj->fqij", xe, G_pts)
-        detJ, Jinv = det_and_inv(J)
-        du = jnp.einsum("fqna,fnc->fqca", G_pts, ue)
-        return jnp.einsum("fqca,fqai->fqci", du, Jinv)
+        xe = xe_np[elems]
+        ue = u_np[en_np[elems]][..., comp]
+        J = np.einsum("fni,fqnj->fqij", xe, G_pts)
+        detJ, Jinv = det_and_inv(J, xp=np)
+        du = np.einsum("fqna,fnc->fqca", G_pts, ue)
+        return np.einsum("fqca,fqai->fqci", du, Jinv)
 
     if len(pairs):
         pairs_a = np.asarray(pairs, dtype=np.int64)
@@ -120,22 +130,19 @@ def kelly_estimate(op, u, variable: str = "velocity",
                 _, _, Bm, Gm, _ = space.basis.face_quadrature(
                     int(fm), n_q1d)
                 qperm = _face_quad_perms(space, sel, fp, fm, n_q1d)
-                Gp_ = jnp.asarray(Gp, op.dtype)
-                Gm_ = jnp.asarray(Gm, op.dtype)
-                w_ = jnp.asarray(fw, op.dtype)
 
-                gp_, Jp = side_grad(jnp.asarray(ep), Gp_)
-                gm_, _ = side_grad(jnp.asarray(em), Gm_)
+                gp_, Jp = side_grad(ep, Gp)
+                gm_, _ = side_grad(em, Gm)
                 # reorder the minus side onto the plus side's points
-                gm_ = jnp.take_along_axis(
-                    gm_, jnp.asarray(qperm)[:, :, None, None], axis=1)
-                meas, nrm = face_measure_and_normal(Jp, int(fp))
-                jump = jnp.einsum("fqci,fqi->fqc", gp_ - gm_, nrm)
-                face_int = jnp.einsum("fqc,fq,q->f", jump * jump,
-                                      meas, w_)
-                area = jnp.einsum("fq,q->f", meas, w_)
-                h_f = area if d == 2 else jnp.sqrt(area)
-                contrib = np.asarray((h_f / 24.0) * face_int)
+                gm_ = np.take_along_axis(
+                    gm_, qperm[:, :, None, None], axis=1)
+                meas, nrm = face_measure_and_normal(Jp, int(fp), xp=np)
+                jump = np.einsum("fqci,fqi->fqc", gp_ - gm_, nrm)
+                face_int = np.einsum("fqc,fq,q->f", jump * jump,
+                                     meas, fw)
+                area = np.einsum("fq,q->f", meas, fw)
+                h_f = area if d == 2 else np.sqrt(area)
+                contrib = (h_f / 24.0) * face_int
                 np.add.at(eta2, ep, contrib)
                 np.add.at(eta2, em, contrib)
 
@@ -167,18 +174,15 @@ def kelly_estimate(op, u, variable: str = "velocity",
             _, Gc, _ = space.basis.tabulate(ref_c)         # [q, nn, d]
             ef = np.array([f.fine_elem for f in fl])
             ec = np.array([f.coarse_elem for f in fl])
-            Gf_ = jnp.asarray(Gf, op.dtype)
-            Gc_ = jnp.asarray(np.broadcast_to(
-                Gc, (len(fl),) + Gc.shape), op.dtype)
-            w_ = jnp.asarray(fw, op.dtype)
-            gf_, Jf = side_grad(jnp.asarray(ef), Gf_)
-            gc_ = side_grad_at(jnp.asarray(ec), Gc_)
-            meas, nrm = face_measure_and_normal(Jf, int(ff))
-            jump = jnp.einsum("fqci,fqi->fqc", gf_ - gc_, nrm)
-            face_int = jnp.einsum("fqc,fq,q->f", jump * jump, meas, w_)
-            area = jnp.einsum("fq,q->f", meas, w_)
-            h_f = area if d == 2 else jnp.sqrt(area)
-            contrib = np.asarray((h_f / 24.0) * face_int)
+            Gc_ = np.broadcast_to(Gc, (len(fl),) + Gc.shape)
+            gf_, Jf = side_grad(ef, Gf)
+            gc_ = side_grad_at(ec, Gc_)
+            meas, nrm = face_measure_and_normal(Jf, int(ff), xp=np)
+            jump = np.einsum("fqci,fqi->fqc", gf_ - gc_, nrm)
+            face_int = np.einsum("fqc,fq,q->f", jump * jump, meas, fw)
+            area = np.einsum("fq,q->f", meas, fw)
+            h_f = area if d == 2 else np.sqrt(area)
+            contrib = (h_f / 24.0) * face_int
             np.add.at(eta2, ef, contrib)
             np.add.at(eta2, ec, contrib)
     return np.sqrt(eta2)
