@@ -362,7 +362,7 @@ def main() -> int:
     sharded = None
     try:
         sharded = time_sharded_step(
-            int(os.environ.get("BENCH_SHARDED_REFINE", "5")))
+            int(os.environ.get("BENCH_SHARDED_REFINE", "6")))
     except Exception as e:                        # pragma: no cover
         sharded = {"error": str(e)[:200]}
 

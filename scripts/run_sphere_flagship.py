@@ -55,6 +55,13 @@ prm.mesh_adaptation.fraction_refinement = float(
     os.environ.get("SPH_FRAC", "0.2"))
 prm.mesh_adaptation.fraction_coarsening = 0.0
 prm.linear_solver.preconditioner = os.environ.get("SPH_PRECOND", "gmg")
+# chunked-driver program size: one device program spans one GMRES(m)
+# restart cycle; at ~10M DoF a GMG-preconditioned 50-matvec cycle can
+# outlive the relay's 60 s watchdog, so the 10M push runs shorter
+# cycles (more host syncs, same math)
+prm.linear_solver.max_krylov_vectors = int(
+    os.environ.get("SPH_KRYLOV_M",
+                   str(prm.linear_solver.max_krylov_vectors)))
 prm.nonlinear_solver.max_iterations = int(
     os.environ.get("SPH_MAXNEWTON", "20"))
 prm.forces.calculate_forces = False
