@@ -164,6 +164,7 @@ end
     assert len(s.tables["L2"]) == 3
 
 
+@pytest.mark.slow
 def test_steady_amr_refines_cavity_corners():
     """Kelly on the lid-driven cavity refines near the lid corners."""
     deck = """

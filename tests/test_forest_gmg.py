@@ -108,6 +108,7 @@ def test_forest_gmg_beats_block_jacobi():
     assert dv < 1e-5, dv
 
 
+@pytest.mark.slow
 def test_forest_gmg_on_adapted_mesh():
     """After a Kelly cycle the hierarchy rebuilds on the ADAPTED leaf
     set (hanging constraints on every level) and still converges."""

@@ -68,6 +68,7 @@ def test_pallas_matches_xla(dim, refine):
     assert float(jnp.abs(dr_p - dr_xla).max()) / scale < 5e-6
 
 
+@pytest.mark.slow
 def test_pallas_solver_path_couette():
     """enable_pallas() end-to-end on the Couette solve (interpret mode)."""
     from tests.test_gls_steady import make_solver, COUETTE_BCS
@@ -79,6 +80,7 @@ def test_pallas_solver_path_couette():
     assert ev < 1e-5   # f32 pallas path
 
 
+@pytest.mark.slow
 def test_pallas_tangent_bf16_state():
     """bf16 linearization-state tangent (linear solver 'jacobian state
     precision = bf16'): same frozen-tau matvec with the FROZEN state

@@ -47,7 +47,10 @@ def test_partition_covers_everything():
     np.testing.assert_array_equal(lay.to_global(lay.to_local(u)), u)
 
 
-@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("n_shards", [
+    pytest.param(2, marks=pytest.mark.slow),
+    8,
+])
 def test_sharded_matches_single_device(n_shards):
     """1-vs-N device golden parity on the steady Couette solve."""
     s = couette_setup()
@@ -67,6 +70,7 @@ def test_sharded_matches_single_device(n_shards):
     assert iters <= int(res.n_iterations) + 2
 
 
+@pytest.mark.slow
 def test_sharded_transient_step_matches_single_device():
     """One BDF1 step sharded over 4 devices == single-device step."""
     import jax.numpy as jnp
@@ -90,6 +94,7 @@ def test_sharded_transient_step_matches_single_device():
     assert err < 5e-8, f"transient sharded mismatch {err}"
 
 
+@pytest.mark.slow
 def test_sharded_exact_linear_solution():
     """The sharded solve reproduces the exact Couette field."""
     s = couette_setup(refine=2)

@@ -107,6 +107,7 @@ def test_forest_adjacency_crosses_periodic_seam():
     assert nleaf == (2, 3, 1), nleaf
 
 
+@pytest.mark.slow
 def test_periodic_seam_hanging_constraints_and_solve():
     """Refine only the seam-adjacent column on the x- side: the 2:1
     balance and hanging faces now straddle the seam, and the adapted

@@ -166,6 +166,7 @@ end
     assert bcp.bcs[0].center_of_rotation(2) == [0.3, -0.2]
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_roundtrip(tmp_path):
     """Transient restart reproduces the uninterrupted run bitwise-close
     (reference §3.4: golden restart tests)."""

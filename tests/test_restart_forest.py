@@ -121,6 +121,7 @@ def test_kelly_restart_matches_uninterrupted(tmp_path):
     assert abs(s_rest.control.time - s_full.control.time) < 1e-14
 
 
+@pytest.mark.slow
 def test_restart_rejects_wrong_deck(tmp_path):
     out = str(tmp_path)
     s_full = _mk(out, t_end=0.4, checkpoint=True, restart=False)
@@ -233,6 +234,7 @@ def test_adaptive_dt_restart_bitwise(tmp_path):
     assert err < 1e-12, err
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_cross_device_count(tmp_path):
     """Distributed checkpoint written from a 4-shard run restores onto
     an 8-shard solver and continues identically (re-partition restore,

@@ -166,6 +166,7 @@ end
 """
 
 
+@pytest.mark.slow
 def test_rotated_slip_annulus():
     """Slip on the CURVED outer circle (rotated nodal-normal frames;
     the axis-aligned mask path cannot express this — it was a known gap
