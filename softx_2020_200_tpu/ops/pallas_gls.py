@@ -42,10 +42,184 @@ L = 256        # lanes per tile
 BLK = S * L    # elements per grid step
 
 
+def _physics(dim, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
+             tangent, B_ref, G_ref, H_ref, w_ref, alpha0, sdt,
+             ue, xe, up, due, fqv, h):
+    """Evaluate the stabilized GLS element weak form on a tile batch.
+
+    Layout-agnostic core shared by the row-layout kernel below and the
+    fused-gather lattice kernel (ops/pallas_lattice.py): ``ue``/``xe``/
+    ``up``/``due`` are lists of 2D element-batch tiles of ANY shape,
+    ``fqv`` a list of nq*dim tiles, ``h`` one tile; B/G/H/w are SMEM
+    tabulation refs.  Returns the nn*(dim+1) accumulated output tiles
+    (Galerkin + SUPG/PSPG/GLS terms; with ``tangent`` the frozen-tau
+    directional derivative, reading the direction from ``due``).
+    """
+    d = dim
+    c = d + 1
+    h2 = h * h
+    inv_h2 = 1.0 / h2
+    visc_term = 9.0 * (4.0 * nu) ** 2 * inv_h2 * inv_h2
+
+    acc = [jnp.zeros(ue[0].shape, dtype=ue[0].dtype)
+           for _ in range(nn * c)]
+
+    for q in range(nq):
+        Bq = [B_ref[q, n] for n in range(nn)]
+        Gq = [[G_ref[q, n * d + a] for a in range(d)]
+              for n in range(nn)]
+        wq = w_ref[0, q]
+
+        # ---- geometry: J[i][j] = sum_n xe[n,i] G[n,j] -------------
+        J = [[sum(xe[n * d + i] * Gq[n][j] for n in range(nn))
+              for j in range(d)] for i in range(d)]
+        if d == 2:
+            det = J[0][0] * J[1][1] - J[0][1] * J[1][0]
+            idet = 1.0 / det
+            Ji = [[J[1][1] * idet, -J[0][1] * idet],
+                  [-J[1][0] * idet, J[0][0] * idet]]
+        else:
+            c00 = J[1][1] * J[2][2] - J[1][2] * J[2][1]
+            c01 = J[1][2] * J[2][0] - J[1][0] * J[2][2]
+            c02 = J[1][0] * J[2][1] - J[1][1] * J[2][0]
+            c10 = J[0][2] * J[2][1] - J[0][1] * J[2][2]
+            c11 = J[0][0] * J[2][2] - J[0][2] * J[2][0]
+            c12 = J[0][1] * J[2][0] - J[0][0] * J[2][1]
+            c20 = J[0][1] * J[1][2] - J[0][2] * J[1][1]
+            c21 = J[0][2] * J[1][0] - J[0][0] * J[1][2]
+            c22 = J[0][0] * J[1][1] - J[0][1] * J[1][0]
+            det = J[0][0] * c00 + J[0][1] * c01 + J[0][2] * c02
+            idet = 1.0 / det
+            Ji = [[c00 * idet, c10 * idet, c20 * idet],
+                  [c01 * idet, c11 * idet, c21 * idet],
+                  [c02 * idet, c12 * idet, c22 * idet]]
+        scale = det * wq
+
+        # K[a][b] = sum_i Ji[a][i] Ji[b][i] (for laplacians)
+        K = [[sum(Ji[a][i] * Ji[b][i] for i in range(d))
+              for b in range(d)] for a in range(d)]
+        lap_phi = None
+        if gls_adjoint or True:
+            lap_phi = [sum(H_ref[q, n * d * d + a * d + b] * K[a][b]
+                           for a in range(d) for b in range(d))
+                       for n in range(nn)]
+
+        def fields(coeffs, ncomp):
+            """values + reference gradients of a nodal field."""
+            vals = [sum(Bq[n] * coeffs[n * ncomp + k]
+                        for n in range(nn)) for k in range(ncomp)]
+            dref = [[sum(Gq[n][a] * coeffs[n * ncomp + k]
+                         for n in range(nn)) for a in range(d)]
+                    for k in range(ncomp)]
+            grad = [[sum(dref[k][a] * Ji[a][i] for a in range(d))
+                     for i in range(d)] for k in range(ncomp)]
+            return vals, grad
+
+        uq, grad_all = fields(ue, c)
+        vel = uq[:d]
+        p = uq[d]
+        gvel = grad_all[:d]
+        gp = grad_all[d]
+        lap = [sum(lap_phi[n] * ue[n * c + i] for n in range(nn))
+               for i in range(d)]
+        upq = [sum(Bq[n] * up[n * d + i] for n in range(nn))
+               for i in range(d)]
+        fqv_q = [fqv[q * d + i] for i in range(d)]
+
+        udot = [alpha0 * vel[i] + upq[i] for i in range(d)]
+        conv = [sum(gvel[i][j] * vel[j] for j in range(d))
+                for i in range(d)]
+        r_m = [udot[i] + conv[i] + gp[i] - nu * lap[i] - fqv_q[i]
+               for i in range(d)]
+        div = sum(gvel[i][i] for i in range(d))
+
+        umag2 = sum(vel[i] * vel[i] for i in range(d))
+        tau = lax.rsqrt(sdt * sdt + 4.0 * umag2 * inv_h2 + visc_term)
+
+        if tangent:
+            # ---- frozen-tau directional derivative ----------------
+            duq, dgrad_all = fields(due, c)
+            dvel = duq[:d]
+            dp = duq[d]
+            dgvel = dgrad_all[:d]
+            dgp = dgrad_all[d]
+            dlap = [sum(lap_phi[n] * due[n * c + i] for n in range(nn))
+                    for i in range(d)]
+            dudot = [alpha0 * dvel[i] for i in range(d)]
+            dconv = [sum(dgvel[i][j] * vel[j] + gvel[i][j] * dvel[j]
+                         for j in range(d)) for i in range(d)]
+            dr_m = [dudot[i] + dconv[i] + dgp[i] - nu * dlap[i]
+                    for i in range(d)]
+            ddiv = sum(dgvel[i][i] for i in range(d))
+
+            a_v = [scale * (dudot[i] + dconv[i]) for i in range(d)]
+            a_g = [[scale * nu * dgvel[i][j]
+                    - (scale * dp if i == j else 0.0)
+                    for j in range(d)] for i in range(d)]
+            if supg:
+                st = scale * tau
+                for i in range(d):
+                    for j in range(d):
+                        a_g[i][j] = a_g[i][j] + st * (
+                            dr_m[i] * vel[j] + r_m[i] * dvel[j])
+            if lsic:
+                tl = 0.5 * jnp.sqrt(umag2) * h * scale
+                for i in range(d):
+                    a_g[i][i] = a_g[i][i] + tl * ddiv
+            a_p = scale * ddiv
+            a_pg = ([scale * tau * dr_m[j] for j in range(d)]
+                    if pspg else None)
+            a_lap = ([-scale * tau * nu * dr_m[i] for i in range(d)]
+                     if gls_adjoint else None)
+        else:
+            a_v = [scale * (udot[i] + conv[i] - fqv_q[i])
+                   for i in range(d)]
+            a_g = [[scale * nu * gvel[i][j]
+                    - (scale * p if i == j else 0.0)
+                    for j in range(d)] for i in range(d)]
+            if supg:
+                st = scale * tau
+                for i in range(d):
+                    for j in range(d):
+                        a_g[i][j] = a_g[i][j] + st * r_m[i] * vel[j]
+            if lsic:
+                tl = 0.5 * jnp.sqrt(umag2) * h * scale
+                for i in range(d):
+                    a_g[i][i] = a_g[i][i] + tl * div
+            a_p = scale * div
+            a_pg = ([scale * tau * r_m[j] for j in range(d)]
+                    if pspg else None)
+            a_lap = ([-scale * tau * nu * r_m[i] for i in range(d)]
+                     if gls_adjoint else None)
+
+        # ---- transpose contractions back to nodes -----------------
+        # reference-coordinate coefficients of d(phi)/d(xi_a)
+        ag_ref = [[sum(a_g[i][j] * Ji[a][j] for j in range(d))
+                   for a in range(d)] for i in range(d)]
+        apg_ref = ([sum(a_pg[j] * Ji[a][j] for j in range(d))
+                    for a in range(d)] if a_pg is not None else None)
+
+        for n in range(nn):
+            for i in range(d):
+                contrib = Bq[n] * a_v[i]
+                for a in range(d):
+                    contrib = contrib + Gq[n][a] * ag_ref[i][a]
+                if a_lap is not None:
+                    contrib = contrib + lap_phi[n] * a_lap[i]
+                acc[n * c + i] = acc[n * c + i] + contrib
+            contrib_p = Bq[n] * a_p
+            if apg_ref is not None:
+                for a in range(d):
+                    contrib_p = contrib_p + Gq[n][a] * apg_ref[a]
+            acc[n * c + d] = acc[n * c + d] + contrib_p
+
+    return acc
+
+
 def _build_kernel(dim: int, nn: int, nq: int, nu: float,
                   supg: bool, pspg: bool, gls_adjoint: bool, lsic: bool,
                   tangent: bool, compute_dtype=jnp.float32):
-    """Return the pallas kernel body.
+    """Return the pallas kernel body (row layout).
 
     Row layouts: ue[nn*c], xe[nn*d], up[nn*d], fq[nq*d], h[1]; out[nn*c].
     With ``tangent=True`` an extra ``due[nn*c]`` input follows ue and the
@@ -76,163 +250,12 @@ def _build_kernel(dim: int, nn: int, nq: int, nu: float,
         up = [row(up_ref, i) for i in range(nn * d)]
         due = ([row(due_ref, i) for i in range(nn * c)]
                if tangent else None)
+        fqv = [row(fq_ref, i) for i in range(nq * d)]
         h = row(h_ref, 0)
-        h2 = h * h
-        inv_h2 = 1.0 / h2
-        visc_term = 9.0 * (4.0 * nu) ** 2 * inv_h2 * inv_h2
 
-        acc = [jnp.zeros((S, L), dtype=ue[0].dtype)
-               for _ in range(nn * c)]
-
-        for q in range(nq):
-            Bq = [B_ref[q, n] for n in range(nn)]
-            Gq = [[G_ref[q, n * d + a] for a in range(d)]
-                  for n in range(nn)]
-            wq = w_ref[0, q]
-
-            # ---- geometry: J[i][j] = sum_n xe[n,i] G[n,j] -------------
-            J = [[sum(xe[n * d + i] * Gq[n][j] for n in range(nn))
-                  for j in range(d)] for i in range(d)]
-            if d == 2:
-                det = J[0][0] * J[1][1] - J[0][1] * J[1][0]
-                idet = 1.0 / det
-                Ji = [[J[1][1] * idet, -J[0][1] * idet],
-                      [-J[1][0] * idet, J[0][0] * idet]]
-            else:
-                c00 = J[1][1] * J[2][2] - J[1][2] * J[2][1]
-                c01 = J[1][2] * J[2][0] - J[1][0] * J[2][2]
-                c02 = J[1][0] * J[2][1] - J[1][1] * J[2][0]
-                c10 = J[0][2] * J[2][1] - J[0][1] * J[2][2]
-                c11 = J[0][0] * J[2][2] - J[0][2] * J[2][0]
-                c12 = J[0][1] * J[2][0] - J[0][0] * J[2][1]
-                c20 = J[0][1] * J[1][2] - J[0][2] * J[1][1]
-                c21 = J[0][2] * J[1][0] - J[0][0] * J[1][2]
-                c22 = J[0][0] * J[1][1] - J[0][1] * J[1][0]
-                det = J[0][0] * c00 + J[0][1] * c01 + J[0][2] * c02
-                idet = 1.0 / det
-                Ji = [[c00 * idet, c10 * idet, c20 * idet],
-                      [c01 * idet, c11 * idet, c21 * idet],
-                      [c02 * idet, c12 * idet, c22 * idet]]
-            scale = det * wq
-
-            # K[a][b] = sum_i Ji[a][i] Ji[b][i] (for laplacians)
-            K = [[sum(Ji[a][i] * Ji[b][i] for i in range(d))
-                  for b in range(d)] for a in range(d)]
-            lap_phi = None
-            if gls_adjoint or True:
-                lap_phi = [sum(H_ref[q, n * d * d + a * d + b] * K[a][b]
-                               for a in range(d) for b in range(d))
-                           for n in range(nn)]
-
-            def fields(coeffs, ncomp):
-                """values + reference gradients of a nodal field."""
-                vals = [sum(Bq[n] * coeffs[n * ncomp + k]
-                            for n in range(nn)) for k in range(ncomp)]
-                dref = [[sum(Gq[n][a] * coeffs[n * ncomp + k]
-                             for n in range(nn)) for a in range(d)]
-                        for k in range(ncomp)]
-                grad = [[sum(dref[k][a] * Ji[a][i] for a in range(d))
-                         for i in range(d)] for k in range(ncomp)]
-                return vals, grad
-
-            uq, grad_all = fields(ue, c)
-            vel = uq[:d]
-            p = uq[d]
-            gvel = grad_all[:d]
-            gp = grad_all[d]
-            lap = [sum(lap_phi[n] * ue[n * c + i] for n in range(nn))
-                   for i in range(d)]
-            upq = [sum(Bq[n] * up[n * d + i] for n in range(nn))
-                   for i in range(d)]
-            fqv = [row(fq_ref, q * d + i) for i in range(d)]
-
-            udot = [alpha0 * vel[i] + upq[i] for i in range(d)]
-            conv = [sum(gvel[i][j] * vel[j] for j in range(d))
-                    for i in range(d)]
-            r_m = [udot[i] + conv[i] + gp[i] - nu * lap[i] - fqv[i]
-                   for i in range(d)]
-            div = sum(gvel[i][i] for i in range(d))
-
-            umag2 = sum(vel[i] * vel[i] for i in range(d))
-            tau = lax.rsqrt(sdt * sdt + 4.0 * umag2 * inv_h2 + visc_term)
-
-            if tangent:
-                # ---- frozen-tau directional derivative ----------------
-                duq, dgrad_all = fields(due, c)
-                dvel = duq[:d]
-                dp = duq[d]
-                dgvel = dgrad_all[:d]
-                dgp = dgrad_all[d]
-                dlap = [sum(lap_phi[n] * due[n * c + i] for n in range(nn))
-                        for i in range(d)]
-                dudot = [alpha0 * dvel[i] for i in range(d)]
-                dconv = [sum(dgvel[i][j] * vel[j] + gvel[i][j] * dvel[j]
-                             for j in range(d)) for i in range(d)]
-                dr_m = [dudot[i] + dconv[i] + dgp[i] - nu * dlap[i]
-                        for i in range(d)]
-                ddiv = sum(dgvel[i][i] for i in range(d))
-
-                a_v = [scale * (dudot[i] + dconv[i]) for i in range(d)]
-                a_g = [[scale * nu * dgvel[i][j]
-                        - (scale * dp if i == j else 0.0)
-                        for j in range(d)] for i in range(d)]
-                if supg:
-                    st = scale * tau
-                    for i in range(d):
-                        for j in range(d):
-                            a_g[i][j] = a_g[i][j] + st * (
-                                dr_m[i] * vel[j] + r_m[i] * dvel[j])
-                if lsic:
-                    tl = 0.5 * jnp.sqrt(umag2) * h * scale
-                    for i in range(d):
-                        a_g[i][i] = a_g[i][i] + tl * ddiv
-                a_p = scale * ddiv
-                a_pg = ([scale * tau * dr_m[j] for j in range(d)]
-                        if pspg else None)
-                a_lap = ([-scale * tau * nu * dr_m[i] for i in range(d)]
-                         if gls_adjoint else None)
-            else:
-                a_v = [scale * (udot[i] + conv[i] - fqv[i])
-                       for i in range(d)]
-                a_g = [[scale * nu * gvel[i][j]
-                        - (scale * p if i == j else 0.0)
-                        for j in range(d)] for i in range(d)]
-                if supg:
-                    st = scale * tau
-                    for i in range(d):
-                        for j in range(d):
-                            a_g[i][j] = a_g[i][j] + st * r_m[i] * vel[j]
-                if lsic:
-                    tl = 0.5 * jnp.sqrt(umag2) * h * scale
-                    for i in range(d):
-                        a_g[i][i] = a_g[i][i] + tl * div
-                a_p = scale * div
-                a_pg = ([scale * tau * r_m[j] for j in range(d)]
-                        if pspg else None)
-                a_lap = ([-scale * tau * nu * r_m[i] for i in range(d)]
-                         if gls_adjoint else None)
-
-            # ---- transpose contractions back to nodes -----------------
-            # reference-coordinate coefficients of d(phi)/d(xi_a)
-            ag_ref = [[sum(a_g[i][j] * Ji[a][j] for j in range(d))
-                       for a in range(d)] for i in range(d)]
-            apg_ref = ([sum(a_pg[j] * Ji[a][j] for j in range(d))
-                        for a in range(d)] if a_pg is not None else None)
-
-            for n in range(nn):
-                for i in range(d):
-                    contrib = Bq[n] * a_v[i]
-                    for a in range(d):
-                        contrib = contrib + Gq[n][a] * ag_ref[i][a]
-                    if a_lap is not None:
-                        contrib = contrib + lap_phi[n] * a_lap[i]
-                    acc[n * c + i] = acc[n * c + i] + contrib
-                contrib_p = Bq[n] * a_p
-                if apg_ref is not None:
-                    for a in range(d):
-                        contrib_p = contrib_p + Gq[n][a] * apg_ref[a]
-                acc[n * c + d] = acc[n * c + d] + contrib_p
-
+        acc = _physics(d, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
+                       tangent, B_ref, G_ref, H_ref, w_ref, alpha0,
+                       sdt, ue, xe, up, due, fqv, h)
         for i in range(nn * c):
             out_ref[i, 0] = acc[i]
 
