@@ -229,9 +229,13 @@ def node_blocks_batched(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
         cols = []
         for k in range(nn * c):
             n0, j = k // c, k % c
-            tangent = jnp.zeros((nn, c, 1), ue_soa.dtype) \
-                .at[n0, j, 0].set(1.0)
-            tangent = tangent * jnp.ones((1, 1, Ec), ue_soa.dtype)
+            # broadcast-of-small probe direction: a static-index scatter
+            # times ones() is CONSTANT-FOLDED by XLA into an [nn, c, Ec]
+            # literal per probe (~268 MB of executable at the 65536
+            # chunk); broadcasts are never folded (diag_hlo_size.py)
+            tangent = jnp.broadcast_to(
+                jnp.zeros((nn, c, 1), ue_soa.dtype)
+                .at[n0, j, 0].set(1.0), (nn, c, Ec))
             cols.append(f_lin(tangent)[n0])              # [c, Ec]
         blocks = jnp.stack(cols).reshape(nn, c, c, Ec)   # [n, j, i, Ec]
         blocks = jnp.transpose(blocks, (3, 0, 2, 1))     # [Ec, n, i, j]
@@ -284,9 +288,10 @@ def node_blocks_batched_bm(kernel, ue_soa, xe_soa, uprev_soa, fq_soa,
         cols_l = []
         for k in range(nn * c):
             n0, j = k // c, k % c
-            tangent = jnp.zeros((nn, c, 1), ue_soa.dtype) \
-                .at[n0, j, 0].set(1.0)
-            tangent = tangent * jnp.ones((1, 1, Ec), ue_soa.dtype)
+            # broadcast-of-small (see node_blocks_batched): never folded
+            tangent = jnp.broadcast_to(
+                jnp.zeros((nn, c, 1), ue_soa.dtype)
+                .at[n0, j, 0].set(1.0), (nn, c, Ec))
             cols_l.append(f_lin(tangent)[n0])            # [c(i), Ec]
         cols = jnp.stack(cols_l)                         # [(n,j), i, Ec]
         blk = cols.reshape(nn, c, c, Ec)                 # [n, j, i, Ec]

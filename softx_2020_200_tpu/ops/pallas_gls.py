@@ -47,8 +47,8 @@ def _physics(dim, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
              ue, xe, up, due, fqv, h):
     """Evaluate the stabilized GLS element weak form on a tile batch.
 
-    Layout-agnostic core shared by the row-layout kernel below and the
-    fused-gather lattice kernel (ops/pallas_lattice.py): ``ue``/``xe``/
+    Layout-agnostic core used by the row-layout kernel below (and
+    designed so a fused-gather lattice kernel can reuse it): ``ue``/``xe``/
     ``up``/``due`` are lists of 2D element-batch tiles of ANY shape,
     ``fqv`` a list of nq*dim tiles, ``h`` one tile; B/G/H/w are SMEM
     tabulation refs.  Returns the nn*(dim+1) accumulated output tiles
@@ -98,11 +98,10 @@ def _physics(dim, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
         # K[a][b] = sum_i Ji[a][i] Ji[b][i] (for laplacians)
         K = [[sum(Ji[a][i] * Ji[b][i] for i in range(d))
               for b in range(d)] for a in range(d)]
-        lap_phi = None
-        if gls_adjoint or True:
-            lap_phi = [sum(H_ref[q, n * d * d + a * d + b] * K[a][b]
-                           for a in range(d) for b in range(d))
-                       for n in range(nn)]
+        # needed for r_m's viscous term regardless of gls_adjoint
+        lap_phi = [sum(H_ref[q, n * d * d + a * d + b] * K[a][b]
+                       for a in range(d) for b in range(d))
+                   for n in range(nn)]
 
         def fields(coeffs, ncomp):
             """values + reference gradients of a nodal field."""
@@ -459,8 +458,16 @@ class PallasGLS:
         for n0 in range(nn):
             per_j = []
             for j in range(c):
-                due = jnp.zeros((nn * c, self.Eg, S, L), self.dtype) \
-                    .at[n0 * c + j].set(1.0)
+                # one-hot probe direction as broadcast-of-small: a full
+                # zeros().at[row].set(1.0) is a static-index scatter that
+                # XLA CONSTANT-FOLDS into an O(E) literal — 32 of them
+                # grew the compiled executable ~1.2 KB/DoF and broke the
+                # 2 GiB proto cap at 2.9-3.5M DoF (docs/tgv96_gmg_run.log,
+                # scripts/diag_hlo_size.py).  Broadcasts are never folded.
+                due = jnp.broadcast_to(
+                    jnp.zeros((nn * c, 1, 1, 1), self.dtype)
+                    .at[n0 * c + j, 0, 0, 0].set(1.0),
+                    (nn * c, self.Eg, S, L))
                 out = self._tangent(ue2, due, up2, fq2, xe2, h2,
                                     alpha0, sdt)
                 per_j.append(out[n0 * c:(n0 + 1) * c])   # [c(i), ...]
