@@ -37,6 +37,15 @@ prm.simulation_control.output_frequency = 0
 prm.simulation_control.dt = float(os.environ.get("CYL_DT", "0.01"))
 prm.simulation_control.time_end = float(os.environ.get("CYL_T", "7.0"))
 prm.mesh.initial_refinement = int(os.environ.get("CYL_REFINE", "4"))
+# Kelly-adaptation headroom: r4's Q2/refine-4 run self-converged at
+# 22.6k cells with Cd_max 3.2171, 0.09% under the 3.22 band floor
+ma = prm.mesh_adaptation
+ma.max_refinement_level = int(os.environ.get(
+    "CYL_MAXLEVEL", ma.max_refinement_level))
+ma.fraction_refinement = float(os.environ.get(
+    "CYL_FRAC", ma.fraction_refinement))
+ma.max_number_elements = int(os.environ.get(
+    "CYL_MAXEL", ma.max_number_elements))
 prm.fem.velocity_order = int(os.environ.get("CYL_ORDER", "1"))
 prm.fem.pressure_order = prm.fem.velocity_order
 prm.forces.calculate_forces = False       # we sample manually
