@@ -211,7 +211,10 @@ class GLSOperator:
             "amap_idx": self.amap.idx,
             "qpts_phys": self.qpts_phys,
         }
-        if getattr(self, "_pallas", None) is not None:
+        if getattr(self, "_pallas", None) is not None and \
+                hasattr(self._pallas, "xe_t"):
+            # the lattice kernel has NO per-element geometry arrays —
+            # its J/h are ~20 folded python floats
             out["pg_xe"] = self._pallas.xe_t
             out["pg_h"] = self._pallas.h_t
         if getattr(self, "_sl_perm", None) is not None:
@@ -293,6 +296,13 @@ class GLSOperator:
             sl = StructuredLayout(self.space)
             self._structured = sl
             xe_grid = sl.elem_coords_grid_order()
+            try:
+                # affine-uniform lattice: the MXU kernel with no
+                # per-element geometry stream (ops/pallas_lattice.py)
+                return self._enable_pallas_lattice(
+                    sl, xe_grid, n_q1d, interpret, state_dtype)
+            except ValueError:
+                pass      # curved/non-uniform: general row-layout kernel
             pg = PallasGLS(self.space, self.nu, n_q1d=n_q1d,
                            supg=self.stab.supg, pspg=self.stab.pspg,
                            gls_adjoint=self.stab.gls_viscous_adjoint,
@@ -417,6 +427,75 @@ class GLSOperator:
             keep2 = jnp.repeat(keep, nc, axis=-1) \
                 * jnp.tile(keep, (1, 1, nc))
             blocks = self._assemble(blocks_el * keep2, C)
+            return blocks.reshape(self.n_nodes, nc, nc)
+
+        self.residual_free = residual_free
+        self.node_blocks = node_blocks
+        return self
+
+    # ------------------------------------------------------------------
+    def _enable_pallas_lattice(self, sl, xe_grid, n_q1d, interpret,
+                               state_dtype):
+        """Affine-uniform-lattice fast path: MXU interpolation/projection
+        kernel with constant folded geometry (ops/pallas_lattice.py).
+        Raises ValueError if the mesh is not a uniform lattice."""
+        from ..ops.pallas_lattice import PallasLatticeGLS
+        nn, nc, d, E = self.nn, self.nc, self.dim, self.space.n_elements
+        pg = PallasLatticeGLS(
+            self.space, self.nu, xe_grid, n_q1d=n_q1d,
+            supg=self.stab.supg, pspg=self.stab.pspg,
+            gls_adjoint=self.stab.gls_viscous_adjoint,
+            lsic=self.stab.lsic, dtype=self.dtype,
+            interpret=interpret, state_dtype=state_dtype)
+        self._pallas = pg
+        self._sl_perm = jnp.asarray(sl.elem_perm.astype(np.int32))
+
+        def residual_free(u, uprev_combo, fq, alpha0, sdt, C=None):
+            ue2 = pg.rows_from_list(sl.gather_rows_list(u), (nn, nc))
+            up2 = pg.rows_from_list(
+                sl.gather_rows_list(uprev_combo), (nn, d))
+            perm = C.get("sl_perm") if C else None
+            if perm is None:
+                perm = self._sl_perm
+            fqg = fq[perm]
+            fq2 = pg.rows_from_list(
+                [fqg[:, q, i] for q in range(self.n_q)
+                 for i in range(d)], (self.n_q, d))
+            r2 = pg.residual_rows(ue2, up2, fq2, alpha0, sdt)
+            return sl.scatter_rows_list(pg.rows_to_list(r2, (nn, nc)),
+                                        nc)
+
+        def node_blocks(u, bc_mask, uprev_combo, fq, alpha0, sdt,
+                        C=None):
+            if pg.interpret:
+                # nn*c interpreted probe launches would crawl on CPU
+                return GLSOperator.node_blocks(
+                    self, u, bc_mask, uprev_combo, fq, alpha0, sdt,
+                    C=C)
+            C = C if C is not None else self.consts()
+            ue2 = pg.rows_from_list(sl.gather_rows_list(u), (nn, nc))
+            up2 = pg.rows_from_list(
+                sl.gather_rows_list(uprev_combo), (nn, d))
+            perm = C.get("sl_perm")
+            if perm is None:
+                perm = self._sl_perm
+            fqg = fq[perm]
+            fq2 = pg.rows_from_list(
+                [fqg[:, q, i] for q in range(self.n_q)
+                 for i in range(d)], (self.n_q, d))
+            br = pg.node_block_rows(ue2, up2, fq2, alpha0, sdt)
+            keep_rows = sl.gather_rows_list(
+                1.0 - bc_mask.astype(self.dtype))     # nn*c of [E]
+            cc = nc * nc
+            flat = br[:, :, :E]                       # [nn, cc, E]
+            rows = []
+            for n in range(nn):
+                for i in range(nc):
+                    ki = keep_rows[n * nc + i]
+                    for j in range(nc):
+                        rows.append(flat[n, i * nc + j] * ki
+                                    * keep_rows[n * nc + j])
+            blocks = sl.scatter_rows_list(rows, cc)
             return blocks.reshape(self.n_nodes, nc, nc)
 
         self.residual_free = residual_free

@@ -198,14 +198,55 @@ def _volume_weights(op):
     return detJ * op.w[None, :], Jinv
 
 
+# Element-chunked volume reductions.  The whole-mesh einsums materialize
+# [E, nq, c, d] intermediates whose tiny minor dims XLA:TPU tile-pads
+# 42-57x — at TGV-96^3 (884k elements) three such temps asked for
+# 40.5 GB of 15.75 GB HBM (docs/tgv96_r5_run.log).  Chunking over
+# elements bounds the live set regardless of E; partial sums come out
+# per chunk.  Arrays travel as jit ARGUMENTS (closure-captured arrays
+# become O(N) HLO literals — solvers/base.py:202).
+
+_VCHUNK = 32768
+
+
+def _chunk_args(u, en, xe, chunk):
+    E = en.shape[0]
+    nchunk = -(-E // chunk)
+    pad = nchunk * chunk - E
+    if pad:
+        en = jnp.concatenate(
+            [en, jnp.zeros((pad,) + en.shape[1:], en.dtype)])
+        xe = jnp.concatenate(
+            [xe, jnp.broadcast_to(xe[-1:], (pad,) + xe.shape[1:])])
+    mask = (jnp.arange(nchunk * chunk) < E).astype(u.dtype)
+    return (en.reshape(nchunk, chunk, *en.shape[1:]),
+            xe.reshape(nchunk, chunk, *xe.shape[1:]),
+            mask.reshape(nchunk, chunk))
+
+
+@jax.jit
+def _ke_sums(u, en, xe, B, G, w):
+    d = xe.shape[-1]
+
+    def body(args):
+        en_c, xe_c, m_c = args
+        ue = u[en_c]                                   # [chunk, nn, c]
+        J = jnp.einsum("eni,qnj->eqij", xe_c, G)
+        detJ, _ = det_and_inv(J)
+        wdet = detJ * w[None, :] * m_c[:, None]
+        uq = jnp.einsum("qn,enc->eqc", B, ue)[..., :d]
+        return (jnp.sum(wdet),
+                jnp.sum(wdet * jnp.sum(uq * uq, axis=-1)))
+
+    chunks = _chunk_args(u, en, xe, min(en.shape[0], _VCHUNK))
+    vol, e2 = jax.lax.map(body, chunks)
+    return jnp.sum(vol), jnp.sum(e2)
+
+
 def kinetic_energy(op, u):
     """Domain-averaged kinetic energy (1/V) integral 1/2 |u|^2."""
-    d = op.dim
-    ue = gather_elements(u, op.elem_nodes)
-    uq = jnp.einsum("qn,enc->eqc", op.B, ue)[..., :d]
-    wdet, _ = _volume_weights(op)
-    vol = jnp.sum(wdet)
-    return 0.5 * jnp.sum(wdet * jnp.sum(uq * uq, axis=-1)) / vol
+    vol, e2 = _ke_sums(u, op.elem_nodes, op.xe, op.B, op.G, op.w)
+    return 0.5 * e2 / vol
 
 
 def _vorticity_at_quad(op, u):
@@ -224,22 +265,44 @@ def _vorticity_at_quad(op, u):
     return om, wdet
 
 
+@jax.jit
+def _grad2_sums(u, en, xe, B, G, w):
+    """Chunked (vol, |grad u|^2, |omega|^2) volume sums."""
+    d = xe.shape[-1]
+
+    def body(args):
+        en_c, xe_c, m_c = args
+        ue = u[en_c]
+        J = jnp.einsum("eni,qnj->eqij", xe_c, G)
+        detJ, Jinv = det_and_inv(J)
+        wdet = detJ * w[None, :] * m_c[:, None]
+        du_dxi = jnp.einsum("qna,enc->eqca", G, ue)
+        grad = jnp.einsum("eqca,eqai->eqci", du_dxi, Jinv)[..., :d, :]
+        if d == 2:
+            om2 = (grad[..., 1, 0] - grad[..., 0, 1]) ** 2
+        else:
+            om2 = ((grad[..., 2, 1] - grad[..., 1, 2]) ** 2
+                   + (grad[..., 0, 2] - grad[..., 2, 0]) ** 2
+                   + (grad[..., 1, 0] - grad[..., 0, 1]) ** 2)
+        return (jnp.sum(wdet),
+                jnp.sum(wdet * jnp.sum(grad * grad, axis=(-1, -2))),
+                jnp.sum(wdet * om2))
+
+    chunks = _chunk_args(u, en, xe, min(en.shape[0], _VCHUNK))
+    vol, g2, o2 = jax.lax.map(body, chunks)
+    return jnp.sum(vol), jnp.sum(g2), jnp.sum(o2)
+
+
 def enstrophy(op, u):
     """Domain-averaged enstrophy (1/V) integral 1/2 |omega|^2."""
-    om, wdet = _vorticity_at_quad(op, u)
-    vol = jnp.sum(wdet)
-    return 0.5 * jnp.sum(wdet * jnp.sum(om * om, axis=-1)) / vol
+    vol, _, o2 = _grad2_sums(u, op.elem_nodes, op.xe, op.B, op.G, op.w)
+    return 0.5 * o2 / vol
 
 
 def ke_dissipation_rate(op, u):
     """(1/V) integral nu * grad u : grad u  (TGV dissipation diagnostics)."""
-    d = op.dim
-    ue = gather_elements(u, op.elem_nodes)
-    wdet, Jinv = _volume_weights(op)
-    du_dxi = jnp.einsum("qna,enc->eqca", op.G, ue)
-    grad = jnp.einsum("eqca,eqai->eqci", du_dxi, Jinv)[..., :d, :]
-    vol = jnp.sum(wdet)
-    return op.nu * jnp.sum(wdet * jnp.sum(grad * grad, axis=(-1, -2))) / vol
+    vol, g2, _ = _grad2_sums(u, op.elem_nodes, op.xe, op.B, op.G, op.w)
+    return op.nu * g2 / vol
 
 
 # --------------------------------------------------------------------------
