@@ -117,9 +117,31 @@ def _build_kernel(dim, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
     inv_h2 = 1.0 / h2
     visc_term = 9.0 * (4.0 * nu) ** 2 * inv_h2 * inv_h2
 
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=compute_dtype,
-                       precision=dot_precision)
+    if dot_precision == "bf16x3":
+        # 3-pass bf16 split product (a_hi b_hi + a_hi b_lo + a_lo b_hi):
+        # ~1.5e-6 relative accuracy at half the MXU passes of Mosaic's
+        # HIGHEST (which Mosaic lowers as a 6-pass f32 decomposition);
+        # Mosaic has no native HIGH for pallas dots.
+        def dot(a, b):
+            a = a.astype(compute_dtype)
+            b = b.astype(compute_dtype)
+            ahi = a.astype(jnp.bfloat16)
+            alo = (a - ahi.astype(compute_dtype)).astype(jnp.bfloat16)
+            bhi = b.astype(jnp.bfloat16)
+            blo = (b - bhi.astype(compute_dtype)).astype(jnp.bfloat16)
+
+            def d(x, y):
+                # explicit DEFAULT: the package-global 'highest' matmul
+                # precision is invalid for bf16 operands in Mosaic
+                return jnp.dot(x, y,
+                               preferred_element_type=compute_dtype,
+                               precision=lax.Precision.DEFAULT)
+
+            return d(ahi, bhi) + (d(ahi, blo) + d(alo, bhi))
+    else:
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=compute_dtype,
+                           precision=dot_precision)
 
     def kernel(alpha0_ref, sdt_ref, T_ref, P_ref, *refs):
         if tangent:
@@ -284,8 +306,30 @@ class PallasLatticeGLS:
         self.Eg = (E + blk - 1) // blk
         self.Ep = self.Eg * blk
 
-        self._primal = self._make_call(tangent=False)
-        self._tangent = self._make_call(tangent=True)
+        # Dot-precision policy: the PRIMAL residual keeps full-f32
+        # contractions (HIGHEST — package default; the physics bands sit
+        # exactly in the bf16 error range, softx_2020_200_tpu/__init__).
+        # When the user opts into the bf16 Jacobian state (linear solver
+        # 'jacobian state precision = bf16'), the TANGENT and node-block
+        # probes also run the MXU at its native bf16-input rate
+        # (DEFAULT, one pass) — the operator rounding (~4e-3 relative)
+        # is then the same order as the state rounding already accepted,
+        # and the tangent kernel measures 1.73x faster (1421 -> 822 us
+        # at 1.1M DoF).  NOT default-on: with f32 state the golden MMS
+        # deck's 8-iteration Newton budget cannot absorb the inexact
+        # Jacobian (CLI L2 degrades 100x, measured).  Escape hatch:
+        # SOFTX_LATTICE_TANGENT_PRECISION=default|highest.
+        import os
+        env = os.environ.get("SOFTX_LATTICE_TANGENT_PRECISION")
+        if env is not None:
+            tp = {"highest": lax.Precision.HIGHEST,
+                  "default": lax.Precision.DEFAULT}[env]
+        else:
+            tp = (lax.Precision.DEFAULT if state_dtype is not None
+                  else lax.Precision.HIGHEST)
+        self._primal = self._make_call(
+            tangent=False, dot_precision=lax.Precision.HIGHEST)
+        self._tangent = self._make_call(tangent=True, dot_precision=tp)
 
         @jax.custom_jvp
         def residual_rows(ue2, up2, fq2, alpha0, sdt):
