@@ -31,7 +31,7 @@ print(float(jnp.ones(8).sum()))" >/dev/null 2>&1; then
 run_with_retry() {  # name timeout_s logfile cmd...
   local name=$1 tmo=$2 log=$3; shift 3
   for attempt in 1 2; do
-    wait_relay
+    wait_relay || { echo "${name} abort: relay down"; return 1; }
     timeout "$tmo" "$@" > "$log" 2>&1
     local rc=$?
     echo "${name} attempt=${attempt} rc=${rc}"
