@@ -188,6 +188,13 @@ if s._mg_builder is not None:
     if os.environ.get("LEVELS_SWEEP") == "1":
         for lv in range(2, len(s._mg_ops) + 1):
             variant(f"jacobi, levels={lv}", levels=lv, coarse_iters=300)
+    elif os.environ.get("CYCLE_SWEEP") == "1":
+        # r5: cycle-shape comparison on the steady convective system
+        # (VERDICT r4 missing #4 — the rediscretized coarse correction
+        # amplifies smooth convective modes; K-wrap line-searches it)
+        for cyc in ("v", "k", "w"):
+            variant(f"krylov m=4, cycle={cyc}", smoother="krylov",
+                    krylov_m=4, coarse_iters=300, cycle=cyc)
     else:
         variant("jacobi, coarse=300", coarse_iters=300)
         variant("krylov m=4, coarse=300", smoother="krylov", krylov_m=4,

@@ -235,6 +235,12 @@ class LinearSolverParams:
     # ~krylov_m x cheaper per V-cycle)
     mg_smoother: str = "auto"     # auto | jacobi | krylov
     mg_krylov_vectors: int = 4
+    # GMG cycle shape: 'v'; 'w' (the reference's `amg w cycles` ML
+    # knob); 'k' = Notay K-cycle — the coarse correction is wrapped in
+    # a 2-iteration FGMRES on the coarse system, which cannot amplify
+    # the smooth convective modes a rediscretized coarse operator
+    # over-corrects on steady convection-dominated decks
+    mg_cycle: str = "v"           # v | w | k
     # Storage dtype for the frozen Jacobian linearization-state arrays
     # streamed by the matrix-free J.v tangent kernel (f32 | bf16).
     # bf16 halves the matvec's dominant HBM stream on TPU; compute
@@ -264,6 +270,7 @@ class LinearSolverParams:
         self.mg_smoother = d.get_str("mg smoother", self.mg_smoother)
         self.mg_krylov_vectors = d.get_int("mg krylov vectors",
                                            self.mg_krylov_vectors)
+        self.mg_cycle = d.get_str("mg cycle", self.mg_cycle)
         self.jacobian_state_precision = d.get_str(
             "jacobian state precision", self.jacobian_state_precision)
 
@@ -277,6 +284,13 @@ class LinearSolverParams:
         # in 6 iterations with a GMRES(4) smooth vs 122 with Jacobi
         # (scripts/diag_sphere_gmg.py CASE=cylinder ORDER=2 DT=0.01)
         return "krylov" if (steady or degree > 1) else "jacobi"
+
+    def resolved_mg_cycle(self) -> str:
+        # reference parity: `amg w cycles = true` selects the W-shape
+        # unless `mg cycle` was set explicitly
+        if self.mg_cycle == "v" and self.amg_w_cycles:
+            return "w"
+        return self.mg_cycle
 
     def resolved_preconditioner(self) -> str:
         if self.preconditioner != "auto":

@@ -324,9 +324,11 @@ def _hc_ops(mgl):
 
 def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
                 coarse_iters: int = 25, smoother: str = "jacobi",
-                krylov_m: int = 4):
+                krylov_m: int = 4, cycle: str = "v",
+                cycle_m: int = 2, cycle_levels: int = 1,
+                level_offset: int = 0):
     """Return builder(u, uprev, fq, alpha0, sdt, fine_mask, mg) ->
-    apply(v): one V-cycle of the hierarchy, linearized at u.
+    apply(v): one multigrid cycle of the hierarchy, linearized at u.
 
     smoother:
       'jacobi' — ``n_smooth`` damped node-block-Jacobi sweeps (omega).
@@ -337,6 +339,27 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
         a fixed-iteration Krylov smooth is robust on nonsymmetric/
         indefinite levels at ~krylov_m matvecs per smooth.  The outer
         Krylov must be FGMRES for either (the bottom solve iterates).
+
+    cycle:
+      'v' — one recursive correction per level (V-cycle).
+      'w' — two corrections with a residual update between (W-cycle;
+        the reference's `amg w cycles` Trilinos-ML knob).
+      'k' — the coarse correction is ``cycle_m`` FGMRES iterations on
+        the coarse system preconditioned by the recursive cycle
+        (Notay's K-cycle).  A residual-minimizing wrapper CANNOT
+        amplify: on steady convective decks the rediscretized coarse
+        operator over-corrects smooth convective modes (the r4 sphere
+        ladder's block-Jacobi fallback), and the K-wrap line-searches
+        the correction instead of trusting it.
+    ``cycle_levels`` bounds how many coarse levels get the w/k wrap
+    (top-down).  The recursion is UNROLLED under jit, so the compiled
+    program grows ~2^cycle_levels bottom solves; the smooth convective
+    modes the wrap exists for live on the first coarse level(s), so the
+    default wraps only level 1 and stays V-shaped below.
+    ``level_offset``: set to 1 when ``level_ops[0]`` is already the
+    first COARSE level of a larger hierarchy (the sharded path, whose
+    fine level lives outside this builder) — the wrap then applies at
+    this builder's root so 1-vs-N device iterates match.
 
     ``builder.state(u, uprev, fq, alpha0, sdt, fine_mask, mg)`` returns
     the once-per-linearization pure-array state (per-level restricted
@@ -473,11 +496,34 @@ def make_vcycle(level_ops, *, n_smooth: int = 1, omega: float = 0.7,
             res = r - matvec(z)
             rc = restrict(level + 1, res, level_ops[level + 1].n_nodes)
             rc = jnp.where(mats[level + 1][2], 0.0, rc)
-            zc = vcycle(level + 1, rc)
+            zc = coarse_correct(level + 1, rc)
             z = z + jnp.where(mask, 0.0, prolong(level + 1, zc))
             z = smooth(level, r, z=z)
             return z
 
+        def coarse_correct(level, rc):
+            """The level-``level`` correction inside the parent cycle:
+            plain recursion (v), doubled (w), or FGMRES-wrapped (k)."""
+            wrapped = cycle in ("w", "k") \
+                and level + level_offset <= cycle_levels \
+                and level + 1 < n_levels
+            if not wrapped:
+                return vcycle(level, rc)
+            if cycle == "w":
+                zc = vcycle(level, rc)
+                return zc + vcycle(level, rc - mats[level][0](zc))
+            mvl = mats[level][0]
+            shp = rc.shape
+            sol, _, _ = gmres(
+                lambda x: mvl(x.reshape(shp)).reshape(-1),
+                rc.reshape(-1),
+                precond=lambda x: vcycle(level,
+                                         x.reshape(shp)).reshape(-1),
+                m=cycle_m, max_restarts=1, atol=1e-30, flexible=True)
+            return sol.reshape(shp)
+
+        if level_offset > 0:
+            return lambda v: coarse_correct(0, v)
         return lambda v: vcycle(0, v)
 
     builder.state = build_state

@@ -87,8 +87,8 @@ class ShardedGLSSolver:
                  kernel: str = "xla", precond: str = "block_jacobi",
                  source_fn=None, bc_exprs=None, bc_mask=None, mg=None,
                  hc=None, mg_smoother: str = "jacobi",
-                 mg_krylov_m: int = 4, strike_parent=None,
-                 gmg_strikes: int = 0):
+                 mg_krylov_m: int = 4, mg_cycle: str = "v",
+                 strike_parent=None, gmg_strikes: int = 0):
         """kernel:   'xla' | 'pallas' | 'pallas_interpret'
         precond:  'jacobi' | 'block_jacobi' | 'gmg'
         source_fn: traceable (qpts[..., d], t) -> [..., d] body force
@@ -136,6 +136,7 @@ class ShardedGLSSolver:
         self.precond_kind = precond
         self._mg_smoother = mg_smoother
         self._mg_krylov_m = mg_krylov_m
+        self._mg_cycle = mg_cycle
 
         # default Dirichlet mask stack (a solve() may pass its own);
         # hanging rows are masked like Dirichlet rows (their Newton
@@ -361,6 +362,7 @@ class ShardedGLSSolver:
                 solver.control.is_steady(),
                 degree=solver.space.degree),
             mg_krylov_m=ls.mg_krylov_vectors,
+            mg_cycle=ls.resolved_mg_cycle(),
             strike_parent=solver, gmg_strikes=strikes)
 
     # ------------------------------------------------------------------
@@ -789,7 +791,8 @@ class ShardedGLSSolver:
                 fqc = jnp.zeros((op1.space.n_elements, op1.n_q, d),
                                 u.dtype)
                 coarse_apply = make_vcycle(
-                    mg_ops, smoother=mg_smoother, krylov_m=krylov_m)(
+                    mg_ops, smoother=mg_smoother, krylov_m=krylov_m,
+                    cycle=self._mg_cycle, level_offset=1)(
                     uc, cc, fqc, alpha0, sdt, mask1, mg_rep)
 
                 def apply(r):

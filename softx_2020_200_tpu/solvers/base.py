@@ -205,7 +205,8 @@ class GLSNavierStokesSolver:
                     smoother=ls.resolved_mg_smoother(
                         self.control.is_steady(),
                         degree=self.space.degree),
-                    krylov_m=ls.mg_krylov_vectors)
+                    krylov_m=ls.mg_krylov_vectors,
+                    cycle=ls.resolved_mg_cycle())
                 import dataclasses as _dc
                 self.newton_cfg = _dc.replace(self.newton_cfg,
                                               flexible=True)

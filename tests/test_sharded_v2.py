@@ -185,6 +185,21 @@ def test_sharded_gmg_parity_and_strength():
         alpha0=float(alpha[0]), sdt=1.0 / dt, t=dt)
     assert lin_mg < lin_bj, (lin_mg, lin_bj)
 
+    # K-cycle (mg cycle = k): the root-wrapped coarse correction
+    # (level_offset=1 in the sharded sub-hierarchy) reaches the same
+    # solution in no more iterations than the V-shape
+    sh_k = ShardedGLSSolver(
+        s.space, nu=s.op.nu, devices=jax.devices()[:4], stab=s.op.stab,
+        newton=s.newton_cfg, precond="gmg", mg=mg, mg_cycle="k",
+        source_fn=s._mms_source, bc_exprs=s.bh.function_entries,
+        bc_mask=s.bh.mask_np)
+    u_k, _, _, lin_k = sh_k.solve(
+        np.asarray(u0), uprev_combo_global=combo,
+        alpha0=float(alpha[0]), sdt=1.0 / dt, t=dt)
+    err_vk = np.abs(u_k[:, :d] - np.asarray(u_ref)[:, :d]).max()
+    assert err_vk < 1e-9, f"sharded k-cycle velocity parity: {err_vk}"
+    assert lin_k <= lin_mg + 2, (lin_k, lin_mg)
+
 
 def test_sharded_gmg_q2_pmg_krylov_parity():
     """Q2 sharded GMG with the p-coarsened hierarchy (Q1 level on the
