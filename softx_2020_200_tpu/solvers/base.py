@@ -1024,7 +1024,9 @@ class GLSNavierStokesSolver:
             self.forest.balance()
             mesh, elem_of, ncf = self.forest.build_mesh()
             self._elem_of = elem_of
+        with self.timer.section("setup"):
             self.setup(mesh=mesh, nc_faces=ncf)
+        with self.timer.section("transfer"):
             out = transfer_solution(old_space, snap, old_elem_of,
                                     self.space, self.forest, elem_of,
                                     fields)
