@@ -23,7 +23,7 @@ print(float(jnp.ones(8).sum()))" >/dev/null 2>&1; then
 }
 
 # wait for queue3 to exit before touching the chip
-Q3PID=${Q3PID:-16139}
+Q3PID=${Q3PID:-16136}
 while kill -0 "$Q3PID" 2>/dev/null; do
   sleep 120
 done
