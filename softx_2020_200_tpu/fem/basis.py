@@ -94,6 +94,11 @@ class TensorBasis:
         read-only views.
         """
         pts = np.asarray(pts, dtype=np.float64)
+        # do not memoize huge point sets (the solution-transfer path
+        # tabulates at EVERY node of a multi-million-node space; caching
+        # those pins GBs of Hessian tables and hashes 10^8 bytes/key)
+        if pts.shape[0] > 16384:
+            return self._tabulate_impl(pts)
         key = (self.dim, self.degree, pts.shape[0], pts.tobytes())
         hit = _TABULATE_CACHE.get(key)
         if hit is not None:
@@ -105,6 +110,22 @@ class TensorBasis:
             _TABULATE_CACHE.clear()
         _TABULATE_CACHE[key] = out
         return out
+
+    def tabulate_values(self, pts: np.ndarray) -> np.ndarray:
+        """B[nq, nn] only — no gradient/Hessian tables.
+
+        The transfer/GMG-prolongation paths evaluate the basis at every
+        node of the NEW space (10^6-10^7 points); tabulate() would
+        allocate an [nq, nn, d, d] Hessian (1.6 GB at 2.8M Q1-3D points)
+        that nobody reads."""
+        pts = np.asarray(pts, dtype=np.float64)
+        nq = pts.shape[0]
+        val = [self.b1.eval(pts[:, d], 0) for d in range(self.dim)]
+        ij = self.node_ij
+        B = val[0][:, ij[:, 0]].copy()
+        for d in range(1, self.dim):
+            B *= val[d][:, ij[:, d]]
+        return B
 
     def _tabulate_impl(self, pts: np.ndarray):
         nq = pts.shape[0]

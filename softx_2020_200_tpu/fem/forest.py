@@ -182,29 +182,56 @@ class Forest:
     def n_leaves(self) -> int:
         return sum(len(s) for s in self.leaves)
 
+    def _invalidate(self):
+        self._arr_cache = None
+        self._order_cache = None
+
     def all_leaves(self):
-        """[(base, leaf)] in deterministic order."""
-        out = []
-        for b, s in enumerate(self.leaves):
-            out.extend((b, leaf) for leaf in sorted(s))
+        """[(base, leaf)] in deterministic order (b-major, leaves in
+        tuple-lexicographic order within each base cell)."""
+        cache = getattr(self, "_order_cache", None)
+        if cache is not None and cache[0] is self.leaves:
+            return cache[1]
+        b_arr, lvl, idx = self._leaf_arrays_only()
+        rows = np.column_stack([lvl, idx]).tolist()
+        out = list(zip(b_arr.tolist(), map(tuple, rows)))
+        self._order_cache = (self.leaves, out)
         return out
 
     # ------------------------------------------------------------------
     # vectorized leaf machinery (SURVEY §7.1: the p4est replacement must
     # not do per-leaf Python work at production scale)
     # ------------------------------------------------------------------
+    def _leaf_arrays_only(self):
+        """(b_arr [E], lvl [E], idx [E, d]) in all_leaves order, cached
+        until the next mutation.  The sort runs on packed int64 keys
+        (identical order to sorted() of the leaf tuples) — the python
+        per-leaf sort was the measured host hotspot of the adaptation
+        pipeline at 10^6 leaves."""
+        cache = getattr(self, "_arr_cache", None)
+        if cache is not None and cache[0] is self.leaves:
+            return cache[1]
+        d = self.dim
+        nb = len(self.leaves)
+        counts = np.fromiter((len(s) for s in self.leaves), np.int64, nb)
+        E = int(counts.sum())
+        b_arr = np.repeat(np.arange(nb, dtype=np.int64), counts)
+        if E:
+            flat = np.fromiter(
+                (x for s in self.leaves for leaf in s for x in leaf),
+                np.int64, E * (d + 1)).reshape(E, d + 1)
+        else:
+            flat = np.zeros((0, d + 1), np.int64)
+        key = self._pack_rows(np.column_stack([b_arr, flat]))
+        perm = np.argsort(key, kind="stable")
+        out = (b_arr, flat[perm, 0], flat[perm, 1:])
+        self._arr_cache = (self.leaves, out)
+        return out
+
     def _leaf_arrays(self):
         """(order, b_arr [E], lvl [E], idx [E, d]) in all_leaves order."""
-        order = self.all_leaves()
-        E = len(order)
-        d = self.dim
-        b_arr = np.fromiter((b for b, _ in order), np.int64, E)
-        lvl = np.fromiter((leaf[0] for _, leaf in order), np.int64, E)
-        idx = np.empty((E, d), np.int64)
-        for a in range(d):
-            idx[:, a] = np.fromiter(
-                (leaf[1 + a] for _, leaf in order), np.int64, E)
-        return order, b_arr, lvl, idx
+        b_arr, lvl, idx = self._leaf_arrays_only()
+        return self.all_leaves(), b_arr, lvl, idx
 
     def _pack_rows(self, rows: np.ndarray) -> np.ndarray:
         """Non-negative (b, lvl, idx...) rows -> order-preserving keys.
@@ -363,26 +390,88 @@ class Forest:
 
     # ------------------------------------------------------------------
     def refine(self, marked: list[tuple[int, Leaf]]) -> None:
+        d = self.dim
+        child_off = [(1,) + tuple((bits >> a) & 1 for a in range(d))
+                     for bits in range(2 ** d)]
         for b, leaf in marked:
-            if leaf in self.leaves[b]:
-                self.leaves[b].remove(leaf)
-                self.leaves[b].update(self.children(leaf, self.dim))
+            s = self.leaves[b]
+            if leaf in s:
+                s.remove(leaf)
+                lvl = leaf[0]
+                base2 = (lvl,) + tuple(2 * x for x in leaf[1:])
+                s.update(tuple(x + o for x, o in zip(base2, off))
+                         for off in child_off)
+        if marked:
+            self._invalidate()
 
     def coarsen(self, marked: list[tuple[int, Leaf]]) -> None:
-        """Merge sibling groups when ALL siblings are marked leaves."""
-        marked_set = set(marked)
-        by_parent: dict = {}
-        for b, leaf in marked:
-            p = self.parent(leaf, self.dim)
-            if p is not None:
-                by_parent.setdefault((b, p), []).append(leaf)
-        for (b, p), kids in by_parent.items():
-            allkids = self.children(p, self.dim)
-            if (len(kids) == len(allkids)
-                    and all(k in self.leaves[b] for k in allkids)):
-                for k in allkids:
-                    self.leaves[b].remove(k)
-                self.leaves[b].add(p)
+        """Merge sibling groups when ALL siblings are marked leaves.
+
+        Vectorized (the GMG hierarchy rebuild coarsens the ENTIRE forest
+        once per level per adaptation): candidate parents are packed-key
+        groups of the marked rows with a full 2^d distinct children.
+        ``marked`` may also be an int64 array of (b, lvl, idx...) rows
+        directly (the zero-python-loop internal fast path)."""
+        d = self.dim
+        if isinstance(marked, np.ndarray):
+            rows = marked
+        else:
+            if not marked:
+                return
+            rows = np.array([(b,) + leaf for b, leaf in marked],
+                            np.int64)
+        rows = rows[rows[:, 1] > 0]
+        if not len(rows):
+            return
+        # dedup marked rows, then group by parent cell
+        rows = rows[np.unique(self._pack_rows(rows), return_index=True)[1]]
+        par = rows.copy()
+        par[:, 1] -= 1
+        par[:, 2:] >>= 1
+        pkey = self._pack_rows(par)
+        order = np.argsort(pkey, kind="stable")
+        _, starts, counts = np.unique(pkey[order], return_index=True,
+                                      return_counts=True)
+        full = counts == (1 << d)
+        if not full.any():
+            return
+        sel = order[starts[full]]                # one marked child/group
+        parents = par[sel]                       # [K, 1+d]
+        # expand each parent to its 2^d children (all marked by
+        # construction, hence all leaves: marked entries come from the
+        # current leaf order)
+        bits = np.arange(1 << d)
+        off = np.stack([(bits >> a) & 1 for a in range(d)],
+                       axis=1).astype(np.int64)            # [2^d, d]
+        kid = np.repeat(parents, 1 << d, axis=0)
+        kid[:, 1] += 1
+        kid[:, 2:] = (kid[:, 2:] << 1) + np.tile(off, (len(parents), 1))
+        # apply, grouped per base cell
+        pb = parents[:, 0]
+        border = np.argsort(pb, kind="stable")
+        pb_s = parents[border]
+        bounds = np.flatnonzero(np.diff(pb_s[:, 0])) + 1
+        kid_by_parent = kid.reshape(len(parents), 1 << d, d + 2)
+        kid_s = kid_by_parent[border]
+        for pgrp, kgrp in zip(np.split(pb_s, bounds),
+                              np.split(kid_s, bounds)):
+            b = int(pgrp[0, 0])
+            s = self.leaves[b]
+            ptup = list(map(tuple, pgrp[:, 1:].tolist()))
+            ktup = list(map(tuple,
+                            kgrp[:, :, 1:].reshape(-1, d + 1).tolist()))
+            # guard: only merge groups whose children are ALL currently
+            # leaves (public-API safety; internal callers always satisfy
+            # this)
+            ok = [all(k in s for k in ktup[i * (1 << d):
+                                           (i + 1) * (1 << d)])
+                  for i in range(len(ptup))]
+            for i, good in enumerate(ok):
+                if good:
+                    s.difference_update(
+                        ktup[i * (1 << d):(i + 1) * (1 << d)])
+                    s.add(ptup[i])
+        self._invalidate()
 
     def _is_subdivided(self, b: int, cell: Leaf) -> bool:
         """True if `cell` is covered by strictly finer leaves."""
@@ -427,8 +516,8 @@ class Forest:
         """
         d = self.dim
         while True:
-            order, b_arr, lvl, idx = self._leaf_arrays()
-            if len(order) == 0:
+            b_arr, lvl, idx = self._leaf_arrays_only()
+            if len(b_arr) == 0:
                 return
             table = self._LeafTable(self, b_arr, lvl, idx)
             max_lvl = int(lvl.max())
@@ -490,6 +579,7 @@ class Forest:
                         anc = next(k for k in kids if k[1:] == want)
             if not fixed_any:
                 return
+            self._invalidate()
             # re-sweep: subdividing for one face can (rarely) create a
             # fresh violation against an even coarser diagonal chain at
             # a level the sweep already passed on a DIFFERENT base cell
@@ -528,26 +618,29 @@ class Forest:
 
         # boundary faces + non-conforming faces, vectorized per face
         table = self._LeafTable(self, b_arr, lvl, idx)
-        base_bface = {(int(e), int(f)): int(bid)
-                      for (e, f, bid) in base.boundary_faces}
         bf_elem, bf_face, bf_bid = [], [], []
         ncf_cols = []           # (fine_elem, fine_face, coarse_elem,
         #                          coarse_face, perm, flip, childbits)
         n_arr = np.int64(1) << lvl
+        # boundary id of (base cell, face), -1 when interior — one dense
+        # lookup table instead of a per-base-cell python loop
+        nb_cells = base.n_cells
+        bid_of = np.full((nb_cells, 2 * d), -1, np.int64)
+        if len(base.boundary_faces):
+            bfa = np.asarray(base.boundary_faces, np.int64)
+            bid_of[bfa[:, 0], bfa[:, 1]] = bfa[:, 2]
         for face in range(2 * d):
             axis, side = divmod(face, 2)
             at_bdry = idx[:, axis] == (n_arr - 1 if side else 0)
-            # boundary ids are per BASE cell: group the boundary leaves
+            # boundary ids are per BASE cell: map through the table
             if at_bdry.any():
                 rows = np.nonzero(at_bdry)[0]
-                for b in np.unique(b_arr[rows]):
-                    bid = base_bface.get((int(b), face))
-                    if bid is None:
-                        continue
-                    sel = rows[b_arr[rows] == b]
+                bids = bid_of[b_arr[rows], face]
+                sel = rows[bids >= 0]
+                if len(sel):
                     bf_elem.append(sel)
                     bf_face.append(np.full(len(sel), face, np.int64))
-                    bf_bid.append(np.full(len(sel), bid, np.int64))
+                    bf_bid.append(bid_of[b_arr[sel], face])
             nb_b, nb_idx, nb_face, perm, flip, valid = \
                 self._neighbors_vec(b_arr, lvl, idx, face)
             ok = np.nonzero(valid)[0]
@@ -604,16 +697,39 @@ class Forest:
             fl = np.concatenate([c[5] for c in ncf_cols])
             cb = np.concatenate([c[6] for c in ncf_cols])
             so = np.lexsort((ff, fe))
-            for k in so:
-                axis = int(ff[k]) // 2
-                tmap = tuple(
-                    (int(pm[k, a]), bool(fl[k, a]),
-                     int(cb[k, int(pm[k, a])]))
-                    for a in range(d) if a != axis)
-                nc_faces.append(NonConformingFace(
-                    coarse_elem=int(ce[k]), coarse_face=int(cf[k]),
-                    fine_elem=int(fe[k]), fine_face=int(ff[k]),
-                    tmap=tmap))
+            fe, ff, ce, cf = fe[so], ff[so], ce[so], cf[so]
+            pm, fl, cb = pm[so], fl[so], cb[so]
+            # bulk-assemble the per-face tangent maps: for each fine
+            # tangent axis a != ff//2 in ascending order, the triple
+            # (perm[a], flip[a], childbit[perm[a]])
+            K = len(fe)
+            tang = np.argsort(
+                np.arange(d)[None, :] == (ff[:, None] // 2),
+                axis=1, kind="stable")[:, :d - 1]          # [K, d-1]
+            pm_t = np.take_along_axis(pm, tang, axis=1)
+            fl_t = np.take_along_axis(fl, tang, axis=1)
+            cb_t = np.take_along_axis(cb, pm_t, axis=1)
+            trip = np.empty((K, d - 1, 3), np.int64)
+            trip[:, :, 0] = pm_t
+            trip[:, :, 1] = fl_t
+            trip[:, :, 2] = cb_t
+            trip_l = trip.reshape(K, -1).tolist()
+            fe_l, ff_l = fe.tolist(), ff.tolist()
+            ce_l, cf_l = ce.tolist(), cf.tolist()
+            if d == 2:
+                nc_faces = [NonConformingFace(
+                    coarse_elem=c, coarse_face=g, fine_elem=e,
+                    fine_face=f, tmap=((t[0], bool(t[1]), t[2]),))
+                    for e, f, c, g, t in zip(fe_l, ff_l, ce_l, cf_l,
+                                             trip_l)]
+            else:
+                nc_faces = [NonConformingFace(
+                    coarse_elem=c, coarse_face=g, fine_elem=e,
+                    fine_face=f,
+                    tmap=((t[0], bool(t[1]), t[2]),
+                          (t[3], bool(t[4]), t[5])))
+                    for e, f, c, g, t in zip(fe_l, ff_l, ce_l, cf_l,
+                                             trip_l)]
 
         mesh = Mesh(dim=d, vertices=vertices, cells=cells,
                     boundary_faces=bf.reshape(-1, 3),

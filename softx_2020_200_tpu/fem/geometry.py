@@ -45,6 +45,36 @@ def det_and_inv(J, xp=jnp):
         return det, inv
     if d == 3:
         m = J
+        if xp is not jnp:
+            # host fast path: write cofactors straight into a
+            # preallocated inverse — xp.stack of 9 big [F, q] cofactor
+            # arrays was a measured Kelly-estimator hotspot (np.stack
+            # copies every operand twice)
+            import numpy as _np
+            inv = _np.empty_like(m)
+            inv[..., 0, 0] = m[..., 1, 1] * m[..., 2, 2] \
+                - m[..., 1, 2] * m[..., 2, 1]
+            inv[..., 1, 0] = m[..., 1, 2] * m[..., 2, 0] \
+                - m[..., 1, 0] * m[..., 2, 2]
+            inv[..., 2, 0] = m[..., 1, 0] * m[..., 2, 1] \
+                - m[..., 1, 1] * m[..., 2, 0]
+            inv[..., 0, 1] = m[..., 0, 2] * m[..., 2, 1] \
+                - m[..., 0, 1] * m[..., 2, 2]
+            inv[..., 1, 1] = m[..., 0, 0] * m[..., 2, 2] \
+                - m[..., 0, 2] * m[..., 2, 0]
+            inv[..., 2, 1] = m[..., 0, 1] * m[..., 2, 0] \
+                - m[..., 0, 0] * m[..., 2, 1]
+            inv[..., 0, 2] = m[..., 0, 1] * m[..., 1, 2] \
+                - m[..., 0, 2] * m[..., 1, 1]
+            inv[..., 1, 2] = m[..., 0, 2] * m[..., 1, 0] \
+                - m[..., 0, 0] * m[..., 1, 2]
+            inv[..., 2, 2] = m[..., 0, 0] * m[..., 1, 1] \
+                - m[..., 0, 1] * m[..., 1, 0]
+            det = (m[..., 0, 0] * inv[..., 0, 0]
+                   + m[..., 0, 1] * inv[..., 1, 0]
+                   + m[..., 0, 2] * inv[..., 2, 0])
+            inv /= det[..., None, None]
+            return det, inv
         c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
         c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
         c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]

@@ -95,12 +95,16 @@ def _from_polar(pol: np.ndarray, center: np.ndarray) -> np.ndarray:
 def _multilinear_weights(ref: np.ndarray, nc: int, dim: int) -> np.ndarray:
     """Corner shape functions at reference points.
 
-    ref [..., nn, dim] -> w [..., nn, nc]."""
-    w = np.ones(ref.shape[:-1] + (nc,))
-    for c in range(nc):
-        for d in range(dim):
-            bit = (c >> d) & 1
-            w[..., c] *= ref[..., d] if bit else (1.0 - ref[..., d])
+    ref [..., nn, dim] -> w [..., nn, nc], corner c bit d = (c >> d) & 1.
+    Built by outer products over axes (2 + 4 + ... array passes instead
+    of the nc*dim in-place multiply sweep — this runs on every leaf of
+    the forest at every adaptation)."""
+    f = [np.stack([1.0 - ref[..., d], ref[..., d]], axis=-1)
+         for d in range(dim)]
+    w = f[dim - 1]
+    for d in range(dim - 2, -1, -1):
+        w = (w[..., :, None] * f[d][..., None, :])
+        w = w.reshape(w.shape[:-2] + (-1,))
     return w
 
 
@@ -177,23 +181,26 @@ def place_nodes(mesh: Mesh, corner_coords: np.ndarray,
     # cells/base-cells stay crack-free.
     if mesh.boundary_manifolds:
         if elem_ids is None:
-            rows_of = None
+            e_order = e_sorted = None
         else:
             # one base cell may own MANY batch rows (vectorized forest
-            # path); group them once
+            # path); sorted-key group slices instead of a per-row
+            # python dict build
             eids = np.asarray(elem_ids)
-            rows_of = {}
-            for i, e in enumerate(eids):
-                rows_of.setdefault(int(e), []).append(i)
+            e_order = np.argsort(eids, kind="stable")
+            e_sorted = eids[e_order]
         for (e, lf, bid) in mesh.boundary_faces:
             man = mesh.boundary_manifolds.get(int(bid))
             if man is None or man.type != "spherical":
                 continue
-            rows = ([int(e)] if rows_of is None
-                    else rows_of.get(int(e), []))
-            if not rows:
+            if e_order is None:
+                rows = np.asarray([int(e)])
+            else:
+                lo = np.searchsorted(e_sorted, int(e))
+                hi = np.searchsorted(e_sorted, int(e), side="right")
+                rows = e_order[lo:hi]
+            if not len(rows):
                 continue
-            rows = np.asarray(rows)
             axis, side = divmod(int(lf), 2)
             target = 1.0 if side else 0.0
             ref_r = (ref_nodes[rows] if per_elem

@@ -20,13 +20,11 @@ def _new_node_base_positions(space, forest, elem_of):
 
     Uses one owning element per node (continuity makes any choice valid).
     """
-    order = forest.all_leaves()
     basis = space.basis
     N = space.n_nodes
     nn = basis.n_nodes
-    lvls = np.array([leaf[0] for _, leaf in order], np.int64)
-    idxs = np.array([leaf[1:] for _, leaf in order], np.float64)
-    bs = np.array([b for b, _ in order], np.int64)
+    bs, lvls, idxs = forest._leaf_arrays_only()
+    idxs = idxs.astype(np.float64)
     h = 1.0 / (1 << lvls)                                  # [E]
     # one owning element per node: FIRST occurrence in element order
     flat = space.elem_nodes.reshape(-1)
@@ -90,17 +88,17 @@ def locate_in_forest(base_cell, base_pos, forest, elem_of, dim):
     part #1)."""
     base_cell = np.asarray(base_cell, np.int64)
     base_pos = np.asarray(base_pos, np.float64)
-    maxlvl = max((leaf[0] for s in forest.leaves for leaf in s),
-                 default=0)
+    E = len(elem_of)
+    rest = np.fromiter((x for k in elem_of for x in k[1]),
+                       np.int64, E * (dim + 1)).reshape(E, dim + 1)
+    klvl, kidx = rest[:, 0], rest[:, 1:]
+    maxlvl = int(klvl.max(initial=0))
     if maxlvl >= _ENC_BITS or len(forest.leaves) >= (1 << 40):
         return _locate_in_forest_loop(base_cell, base_pos, forest,
                                       elem_of, dim)
-    keys = list(elem_of.keys())
-    kb = np.array([k[0] for k in keys], np.int64)
-    klvl = np.array([k[1][0] for k in keys], np.int64)
-    kidx = np.array([k[1][1:] for k in keys], np.int64)
+    kb = np.fromiter((k[0] for k in elem_of), np.int64, E)
     kcode = _encode(kb, klvl, kidx)
-    kelem = np.array([elem_of[k] for k in keys], np.int64)
+    kelem = np.fromiter(elem_of.values(), np.int64, E)
     order = np.argsort(kcode)
     kcode_s, kelem_s = kcode[order], kelem[order]
 
@@ -141,11 +139,11 @@ def transfer_solution(old_space, old_forest, old_elem_of,
         base_cell, base_pos, old_forest, old_elem_of, dim)
 
     # evaluate the old basis at each node's reference coords
-    Bpt, _, _ = old_space.basis.tabulate(ref_in_old)       # [N, nn_old]
+    Bpt = old_space.basis.tabulate_values(ref_in_old)      # [N, nn_old]
     conn = old_space.elem_nodes[old_elem]                  # [N, nn_old]
     out = []
     for f in fields:
         f = np.asarray(f)
-        vals = np.einsum("nk,nkc->nc", Bpt, f[conn])
+        vals = np.einsum("nk,nkc->nc", Bpt, f[conn], optimize=True)
         out.append(jnp.asarray(vals))
     return out

@@ -49,7 +49,7 @@ def _transfer_maps(fine_space, coarse_space):
     corner0 = cs.element_coords()[elem][:, 0, :]
     h_elem = span / np.asarray(ne)
     ref = np.clip((fs.nodes - corner0) / h_elem, 0.0, 1.0)
-    B, _, _ = cs.basis.tabulate(ref)                   # [Nf, nn_c]
+    B = cs.basis.tabulate_values(ref)                  # [Nf, nn_c]
     masters = cs.elem_nodes[elem]
     scale = np.maximum(np.abs(fs.nodes).max(axis=0), 1.0)
     q_f = np.round(fs.nodes / scale * 1e10).astype(np.int64)
@@ -68,9 +68,8 @@ def _coarsen_forest(forest):
     new.dim = forest.dim
     new.leaves = [set(s) for s in forest.leaves]
     new._adjacency = forest._adjacency
-    marked = [(b, leaf) for b, s in enumerate(new.leaves)
-              for leaf in s if leaf[0] > 0]
-    new.coarsen(marked)
+    b_arr, lvl, idx = forest._leaf_arrays_only()
+    new.coarsen(np.column_stack([b_arr, lvl, idx]))
     new.balance()
     return new
 
@@ -155,13 +154,13 @@ def build_forest_hierarchy(solver, min_elems: int = 64,
                                               cur_elem_of)
         elem_c, ref_c = locate_in_forest(bc_f, bp_f, cur_forest,
                                          cur_elem_of, d)
-        Bp, _, _ = cspace.basis.tabulate(ref_c)
+        Bp = cspace.basis.tabulate_values(ref_c)
         masters = cspace.elem_nodes[elem_c]
         bc_c, bp_c = _new_node_base_positions(cspace, cur_forest,
                                               cur_elem_of)
         elem_f, ref_f = locate_in_forest(bc_c, bp_c, cur_forest,
                                          cur_elem_of, d)
-        Br, _, _ = cur_space.basis.tabulate(ref_f)
+        Br = cur_space.basis.tabulate_values(ref_f)
         inj_masters = cur_space.elem_nodes[elem_f]
         level_ops.append(cop)
         mg.append(dict(cop.consts(), bh_mask=cmask,
@@ -200,14 +199,14 @@ def build_forest_hierarchy(solver, min_elems: int = 64,
                                               cur_elem_of)
         elem_c, ref_c = locate_in_forest(bc_f, bp_f, cforest,
                                          c_elem_of, d)
-        Bp, _, _ = cspace.basis.tabulate(ref_c)        # [Nf, nn_c]
+        Bp = cspace.basis.tabulate_values(ref_c)       # [Nf, nn_c]
         masters = cspace.elem_nodes[elem_c]
 
         # state restriction: every COARSE node located in the fine forest
         bc_c, bp_c = _new_node_base_positions(cspace, cforest, c_elem_of)
         elem_f, ref_f = locate_in_forest(bc_c, bp_c, cur_forest,
                                          cur_elem_of, d)
-        Br, _, _ = cur_space.basis.tabulate(ref_f)     # [Nc, nn_f]
+        Br = cur_space.basis.tabulate_values(ref_f)    # [Nc, nn_f]
         inj_masters = cur_space.elem_nodes[elem_f]
 
         level_ops.append(cop)

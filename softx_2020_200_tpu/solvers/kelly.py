@@ -23,8 +23,10 @@ from ..fem.geometry import det_and_inv, face_measure_and_normal
 
 
 def conforming_face_pairs(space):
-    """[(elem+, face+, elem-, face-)] for interior conforming faces
-    (vectorized: sorted-corner face keys + one np.unique)."""
+    """int64 array [P, 4] of (elem+, face+, elem-, face-) for interior
+    conforming faces (vectorized: sorted-corner face keys + one lexsort;
+    a row-unique via lexsort + adjacent-diff beats np.unique(axis=0)'s
+    void-dtype byte-compare sort ~5x at 10^6 faces)."""
     mesh = space.mesh
     d = space.dim
     nc = 2 ** d
@@ -38,15 +40,18 @@ def conforming_face_pairs(space):
                if corner_ij[i, axis] == (1 if side else 0)]
         keys[:, f, :] = np.sort(mesh.cells[:, sel], axis=1)
     flat = keys.reshape(mesh.n_cells * nf, -1)
-    uniq, inv, counts = np.unique(flat, axis=0, return_inverse=True,
-                                  return_counts=True)
-    order = np.argsort(inv, kind="stable")
+    order = np.lexsort(flat.T[::-1])
+    srt = flat[order]
+    new = np.empty(len(srt), bool)
+    new[0] = True
+    np.any(srt[1:] != srt[:-1], axis=1, out=new[1:])
+    group = np.cumsum(new) - 1
+    counts = np.bincount(group)
     starts = np.cumsum(counts) - counts
     two = counts == 2
     i1 = order[starts[two]]
     i2 = order[starts[two] + 1]
-    pairs = np.stack([i1 // nf, i1 % nf, i2 // nf, i2 % nf], axis=1)
-    return [tuple(int(v) for v in row) for row in pairs]
+    return np.stack([i1 // nf, i1 % nf, i2 // nf, i2 % nf], axis=1)
 
 
 def _face_quad_perms(space, pairs, fp, fm, n_q1d):
@@ -56,22 +61,32 @@ def _face_quad_perms(space, pairs, fp, fm, n_q1d):
     fpts_p, _, Bp, _, _ = space.basis.face_quadrature(int(fp), n_q1d)
     fpts_m, _, Bm, _, _ = space.basis.face_quadrature(int(fm), n_q1d)
     xe = space.element_coords()
-    xp = np.einsum("qn,fnd->fqd", Bp, xe[pairs[:, 0]])
-    xm = np.einsum("qn,fnd->fqd", Bm, xe[pairs[:, 2]])
-    nq = xp.shape[1]
-    # vectorized over all pairs (a per-pair loop is the host hotspot of
-    # the estimator at large E)
-    d2 = np.linalg.norm(xp[:, :, None, :] - xm[:, None, :, :], axis=-1)
-    perm = np.argmin(d2, axis=2)                         # [F, nq]
-    scale = np.maximum(np.abs(xp).reshape(len(pairs), -1).max(axis=1),
-                       1.0)
-    best = np.take_along_axis(d2, perm[:, :, None], axis=2)[:, :, 0]
-    bad = (best.max(axis=1) > 1e-8 * scale) \
-        | (np.sort(perm, axis=1) != np.arange(nq)[None, :]).any(axis=1)
-    if bad.any():
-        raise ValueError(
-            "conforming face quadrature points do not match "
-            f"(pair {pairs[np.argmax(bad)]})")
+    xp = np.einsum("qn,fnd->fqd", Bp, xe[pairs[:, 0]], optimize=True)
+    xm = np.einsum("qn,fnd->fqd", Bm, xe[pairs[:, 2]], optimize=True)
+    F, nq = xp.shape[:2]
+    scale = np.maximum(np.abs(xp).reshape(F, -1).max(axis=1), 1.0)
+    tol2 = (1e-8 * scale) ** 2
+    # identity fast path: on translate-lattice regions (and any
+    # unrotated adjacency) the two tangent frames agree, so the [F, nq,
+    # nq] all-pairs distance tensor — the measured estimator hotspot —
+    # is only needed for the pairs that FAIL the aligned check
+    # (rotated/flipped seams)
+    diag = ((xp - xm) ** 2).sum(axis=-1)                 # [F, nq]
+    perm = np.broadcast_to(np.arange(nq), (F, nq)).copy()
+    rest = np.nonzero(diag.max(axis=1) > tol2)[0]
+    if len(rest):
+        d2 = ((xp[rest, :, None, :] - xm[rest, None, :, :]) ** 2) \
+            .sum(axis=-1)
+        p_r = np.argmin(d2, axis=2)                      # [R, nq]
+        perm[rest] = p_r
+        best = np.take_along_axis(d2, p_r[:, :, None], axis=2)[:, :, 0]
+        bad = (best.max(axis=1) > tol2[rest]) \
+            | (np.sort(p_r, axis=1)
+               != np.arange(nq)[None, :]).any(axis=1)
+        if bad.any():
+            raise ValueError(
+                "conforming face quadrature points do not match "
+                f"(pair {pairs[rest[np.argmax(bad)]]})")
     return perm
 
 
@@ -93,58 +108,80 @@ def kelly_estimate(op, u, variable: str = "velocity",
     comp = slice(0, d) if variable == "velocity" else slice(d, d + 1)
     n_q1d = space.degree + 1
 
-    u_np = np.asarray(u, np.float64)
-    xe_np = np.asarray(op.xe, np.float64)
+    # compute in the STATE's precision: an f64 estimator of an f32
+    # state adds no information, and the f32 path (BLAS sgemm + half
+    # the stream) is ~2x on the host — the adaptation bottleneck at
+    # 10^6 cells.  eta^2 accumulates in f64 either way (bincount).
+    wdt = np.float32 if np.asarray(u).dtype == np.float32 \
+        else np.float64
+    u_np = np.asarray(u, wdt)
+    xe_np = np.asarray(op.xe, wdt)
     en_np = np.asarray(op.elem_nodes)
 
-    def side_grad(elems, G_):
-        xe = xe_np[elems]
-        ue = u_np[en_np[elems]][..., comp]
-        J = np.einsum("fni,qnj->fqij", xe, G_)
-        detJ, Jinv = det_and_inv(J, xp=np)
-        du = np.einsum("qna,fnc->fqca", G_, ue)
-        grad = np.einsum("fqca,fqai->fqci", du, Jinv)
-        return grad, J
+    E_tot = space.n_elements
 
-    def side_grad_at(elems, G_pts):
-        """Gradient at PER-FACE tabulated points G_pts [F, q, nn, d]."""
+    def side_du(elems, G_):
+        """Reference-coordinate gradients du[f,q,c,a] and J[f,q,i,j]."""
         xe = xe_np[elems]
         ue = u_np[en_np[elems]][..., comp]
-        J = np.einsum("fni,fqnj->fqij", xe, G_pts)
-        detJ, Jinv = det_and_inv(J, xp=np)
-        du = np.einsum("fqna,fnc->fqca", G_pts, ue)
-        return np.einsum("fqca,fqai->fqci", du, Jinv)
+        J = np.einsum("fni,qnj->fqij", xe, G_.astype(wdt),
+                      optimize=True)
+        du = np.einsum("qna,fnc->fqca", G_.astype(wdt), ue,
+                       optimize=True)
+        return du, J
+
+    def side_du_at(elems, G_pts):
+        """Same at PER-FACE tabulated points G_pts [F, q, nn, d]."""
+        xe = xe_np[elems]
+        ue = u_np[en_np[elems]][..., comp]
+        J = np.einsum("fni,fqnj->fqij", xe, G_pts.astype(wdt),
+                      optimize=True)
+        du = np.einsum("fqna,fnc->fqca", G_pts.astype(wdt), ue,
+                       optimize=True)
+        return du, J
+
+    def normal_grad(du, J, nrm):
+        """(grad u) . n without materializing the physical gradient:
+        du_{ca} (J^{-T} n)_a."""
+        _, Jinv = det_and_inv(J, xp=np)
+        s = np.einsum("fqai,fqi->fqa", Jinv, nrm, optimize=True)
+        return np.einsum("fqca,fqa->fqc", du, s, optimize=True)
 
     if len(pairs):
         pairs_a = np.asarray(pairs, dtype=np.int64)
-        # group by (face+, face-) so tabulations are static per group
-        for fp in np.unique(pairs_a[:, 1]):
-            for fm in np.unique(pairs_a[:, 3]):
-                sel = pairs_a[(pairs_a[:, 1] == fp)
-                              & (pairs_a[:, 3] == fm)]
-                if sel.size == 0:
-                    continue
-                ep, em = sel[:, 0], sel[:, 2]
-                _, fw, Bp, Gp, _ = space.basis.face_quadrature(
-                    int(fp), n_q1d)
-                _, _, Bm, Gm, _ = space.basis.face_quadrature(
-                    int(fm), n_q1d)
-                qperm = _face_quad_perms(space, sel, fp, fm, n_q1d)
+        # group by (face+, face-) so tabulations are static per group:
+        # one lexsort, then contiguous group slices (the masked double
+        # loop rescanned the pair list 4d^2 times)
+        gkey = pairs_a[:, 1] * (2 * d) + pairs_a[:, 3]
+        gord = np.argsort(gkey, kind="stable")
+        pairs_s = pairs_a[gord]
+        bounds = np.flatnonzero(np.diff(gkey[gord])) + 1
+        for sel in np.split(pairs_s, bounds):
+            if sel.size == 0:
+                continue
+            fp, fm = int(sel[0, 1]), int(sel[0, 3])
+            ep, em = sel[:, 0], sel[:, 2]
+            _, fw, Bp, Gp, _ = space.basis.face_quadrature(fp, n_q1d)
+            _, _, Bm, Gm, _ = space.basis.face_quadrature(fm, n_q1d)
+            qperm = _face_quad_perms(space, sel, fp, fm, n_q1d)
 
-                gp_, Jp = side_grad(ep, Gp)
-                gm_, _ = side_grad(em, Gm)
-                # reorder the minus side onto the plus side's points
-                gm_ = np.take_along_axis(
-                    gm_, qperm[:, :, None, None], axis=1)
-                meas, nrm = face_measure_and_normal(Jp, int(fp), xp=np)
-                jump = np.einsum("fqci,fqi->fqc", gp_ - gm_, nrm)
-                face_int = np.einsum("fqc,fq,q->f", jump * jump,
-                                     meas, fw)
-                area = np.einsum("fq,q->f", meas, fw)
-                h_f = area if d == 2 else np.sqrt(area)
-                contrib = (h_f / 24.0) * face_int
-                np.add.at(eta2, ep, contrib)
-                np.add.at(eta2, em, contrib)
+            du_p, Jp = side_du(ep, Gp)
+            du_m, Jm = side_du(em, Gm)
+            # reorder the minus side onto the plus side's points
+            du_m = np.take_along_axis(
+                du_m, qperm[:, :, None, None], axis=1)
+            Jm = np.take_along_axis(
+                Jm, qperm[:, :, None, None], axis=1)
+            meas, nrm = face_measure_and_normal(Jp, fp, xp=np)
+            jump = normal_grad(du_p, Jp, nrm) \
+                - normal_grad(du_m, Jm, nrm)
+            face_int = np.einsum("fqc,fq,q->f", jump * jump,
+                                 meas, fw, optimize=True)
+            area = np.einsum("fq,q->f", meas, fw, optimize=True)
+            h_f = area if d == 2 else np.sqrt(area)
+            contrib = (h_f / 24.0) * face_int
+            eta2 += np.bincount(ep, weights=contrib, minlength=E_tot)
+            eta2 += np.bincount(em, weights=contrib, minlength=E_tot)
 
     # ---- 2:1 non-conforming interfaces: integrate from the fine side,
     # evaluating the coarse gradient at mapped reference points --------
@@ -175,16 +212,20 @@ def kelly_estimate(op, u, variable: str = "velocity",
             ef = np.array([f.fine_elem for f in fl])
             ec = np.array([f.coarse_elem for f in fl])
             Gc_ = np.broadcast_to(Gc, (len(fl),) + Gc.shape)
-            gf_, Jf = side_grad(ef, Gf)
-            gc_ = side_grad_at(ec, Gc_)
+            du_f, Jf = side_du(ef, Gf)
+            du_c, Jc = side_du_at(ec, Gc_)
             meas, nrm = face_measure_and_normal(Jf, int(ff), xp=np)
-            jump = np.einsum("fqci,fqi->fqc", gf_ - gc_, nrm)
-            face_int = np.einsum("fqc,fq,q->f", jump * jump, meas, fw)
-            area = np.einsum("fq,q->f", meas, fw)
+            jump = normal_grad(du_f, Jf, nrm) \
+                - normal_grad(du_c, Jc, nrm)
+            face_int = np.einsum("fqc,fq,q->f", jump * jump, meas, fw,
+                                 optimize=True)
+            area = np.einsum("fq,q->f", meas, fw, optimize=True)
             h_f = area if d == 2 else np.sqrt(area)
             contrib = (h_f / 24.0) * face_int
-            np.add.at(eta2, ef, contrib)
-            np.add.at(eta2, ec, contrib)
+            eta2 += np.bincount(ef, weights=contrib,
+                                minlength=space.n_elements)
+            eta2 += np.bincount(ec, weights=contrib,
+                                minlength=space.n_elements)
     return np.sqrt(eta2)
 
 
