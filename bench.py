@@ -113,6 +113,10 @@ def time_gd_matvec(refine, backend, n_apps=30):
                                       colorize=True)
     op = GDOperator(mesh, degree_pressure=1, nu=0.01,
                     dtype=jnp.float32)
+    if backend != "cpu":
+        # fused affine-lattice MXU kernel + strided window gathers for
+        # both spaces (ops/pallas_lattice_gd.py)
+        op.enable_pallas()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(op.n_dofs) * 0.1, op.dtype)
     v = jnp.asarray(rng.standard_normal(op.n_dofs), op.dtype)

@@ -121,6 +121,48 @@ class GDOperator:
         return jnp.concatenate([v.reshape(-1), p])
 
     # ------------------------------------------------------------------
+    def enable_pallas(self, interpret: bool = False) -> bool:
+        """Swap residual_free to the fused affine-lattice MXU kernel
+        (ops/pallas_lattice_gd.py) when the mesh is a uniform generator
+        lattice: strided window gathers for BOTH spaces, one Pallas
+        launch for the mixed physics, exact-Jacobian custom_jvp.
+        Returns False (and keeps the SoA einsum path) otherwise."""
+        if self.mesh.structured_shape is None:
+            return False
+        from ..ops.structured import StructuredLayout
+        from ..ops.pallas_lattice_gd import PallasLatticeGD
+        try:
+            sl_v = StructuredLayout(self.space_v)
+            sl_p = StructuredLayout(self.space_p)
+            pg = PallasLatticeGD(
+                self.space_v, self.space_p, self.nu, self.gamma,
+                sl_v.elem_coords_grid_order(),
+                n_q1d=int(round(self.n_q ** (1 / self.dim))),
+                dtype=self.dtype, interpret=interpret)
+        except ValueError:
+            return False
+        self._pallas_gd = pg
+        self._sl_v, self._sl_p = sl_v, sl_p
+        self._sl_perm = jnp.asarray(sl_v.elem_perm.astype(np.int32))
+        d = self.dim
+
+        def residual_free(x, vprev_combo, fq, alpha0, sdt):
+            v, p = self.split(x)
+            ue2, fq2 = pg.pack_rows(
+                sl_v.gather_rows_list(v),
+                sl_p.gather_rows_list(p[:, None]),
+                fq[self._sl_perm])
+            vpe2 = pg.pack_vrows(sl_v.gather_rows_list(vprev_combo))
+            out = pg.residual_rows(ue2, vpe2, fq2, alpha0)
+            v_list, p_list = pg.unpack_rows(out)
+            Rv = sl_v.scatter_rows_list(v_list, d)
+            Rp = sl_p.scatter_rows_list(p_list, 1)[:, 0]
+            return self.join(Rv, Rp)
+
+        self.residual_free = residual_free
+        return True
+
+    # ------------------------------------------------------------------
     def residual_free(self, x, vprev_combo, fq, alpha0, sdt):
         """Mixed residual: x flat [Nv*d + Np] -> same shape.
 
@@ -369,6 +411,13 @@ class GDNavierStokesSolver:
             self._mesh, degree_pressure=prm.fem.pressure_order,
             nu=prm.physical_properties.kinematic_viscosity,
             gamma=prm.stabilization.gamma)
+        use_pallas = (prm.fem.kernel == "pallas"
+                      or (prm.fem.kernel == "auto"
+                          and jax.default_backend() == "tpu"))
+        if use_pallas:
+            # fused affine-lattice MXU kernel when the mesh allows
+            # (falls back to the SoA einsum path silently otherwise)
+            self.op.enable_pallas()
         self.bh = BoundaryHandler(self.op.space_v,
                                   prm.boundary_conditions)
         # hanging constraints on BOTH spaces (adapted meshes)
