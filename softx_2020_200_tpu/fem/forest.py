@@ -389,8 +389,40 @@ class Forest:
         return "finer"
 
     # ------------------------------------------------------------------
-    def refine(self, marked: list[tuple[int, Leaf]]) -> None:
+    def refine(self, marked) -> None:
+        """Subdivide every marked leaf.  ``marked`` is a list of
+        (b, leaf) pairs or an int64 array of (b, lvl, idx...) rows (the
+        bulk fast path: children built as one array, sets updated per
+        base-cell group)."""
         d = self.dim
+        if isinstance(marked, np.ndarray):
+            if not len(marked):
+                return
+            rows = marked
+            bits = np.arange(1 << d)
+            off = np.stack([(bits >> a) & 1 for a in range(d)],
+                           axis=1).astype(np.int64)      # [2^d, d]
+            kid = np.repeat(rows, 1 << d, axis=0)
+            kid[:, 1] += 1
+            kid[:, 2:] = (kid[:, 2:] << 1) + np.tile(off, (len(rows), 1))
+            order = np.argsort(rows[:, 0], kind="stable")
+            rows_s = rows[order]
+            kid_s = kid.reshape(len(rows), 1 << d, d + 2)[order]
+            bounds = np.flatnonzero(np.diff(rows_s[:, 0])) + 1
+            for pgrp, kgrp in zip(np.split(rows_s, bounds),
+                                  np.split(kid_s, bounds)):
+                b = int(pgrp[0, 0])
+                s = self.leaves[b]
+                ptup = list(map(tuple, pgrp[:, 1:].tolist()))
+                ktup = list(map(tuple,
+                                kgrp[:, :, 1:]
+                                .reshape(-1, d + 1).tolist()))
+                for i, leaf in enumerate(ptup):
+                    if leaf in s:
+                        s.remove(leaf)
+                        s.update(ktup[i * (1 << d):(i + 1) * (1 << d)])
+            self._invalidate()
+            return
         child_off = [(1,) + tuple((bits >> a) & 1 for a in range(d))
                      for bits in range(2 ** d)]
         for b, leaf in marked:
@@ -401,7 +433,7 @@ class Forest:
                 base2 = (lvl,) + tuple(2 * x for x in leaf[1:])
                 s.update(tuple(x + o for x, o in zip(base2, off))
                          for off in child_off)
-        if marked:
+        if len(marked):
             self._invalidate()
 
     def coarsen(self, marked: list[tuple[int, Leaf]]) -> None:

@@ -103,7 +103,8 @@ class GLSNavierStokesSolver:
                             base.periodic.append(pair)
                 self.forest = Forest(base)
                 for _ in range(prm.mesh.initial_refinement):
-                    self.forest.refine(self.forest.all_leaves())
+                    self.forest.refine(np.column_stack(
+                        self.forest._leaf_arrays_only()))
                 self._mesh, self._elem_of, nc_faces = \
                     self.forest.build_mesh()
             else:
@@ -997,18 +998,22 @@ class GLSNavierStokesSolver:
             refine_fraction=ma.fraction_refinement,
             coarsen_fraction=ma.fraction_coarsening)
 
-        order = self.forest.all_leaves()
-        E = len(order)
+        b_arr, lvl_arr, idx_arr = self.forest._leaf_arrays_only()
+        E = len(b_arr)
         d = self.dim
-        # level clamps + element budget
-        ref_idx = [e for e in np.where(refine_mask)[0]
-                   if order[e][1][0] < ma.max_refinement_level]
+        # level clamps + element budget (all-array: the python
+        # tuple-indexed marking was a measured cost at 10^6 leaves)
+        ref_idx = np.where(refine_mask
+                           & (lvl_arr < ma.max_refinement_level))[0]
         budget = (ma.max_number_elements - E) // (2 ** d - 1)
         if budget < len(ref_idx):
-            ref_idx = sorted(ref_idx, key=lambda e: -eta[e])[:max(0, budget)]
-        marked_ref = [order[e] for e in ref_idx]
-        marked_coa = [order[e] for e in np.where(coarsen_mask)[0]
-                      if order[e][1][0] > ma.min_refinement_level]
+            sel = np.argsort(-eta[ref_idx], kind="stable")
+            ref_idx = ref_idx[sel[:max(0, budget)]]
+        coa_idx = np.where(coarsen_mask
+                           & (lvl_arr > ma.min_refinement_level))[0]
+        rows = np.column_stack([b_arr, lvl_arr, idx_arr])
+        marked_ref = rows[ref_idx]
+        marked_coa = rows[coa_idx]
 
         # snapshot the old forest/space for the transfer
         old_space, old_elem_of = self.space, self._elem_of

@@ -361,7 +361,8 @@ class GDNavierStokesSolver:
                             base.periodic.append(pair)
                 self.forest = Forest(base)
                 for _ in range(prm.mesh.initial_refinement):
-                    self.forest.refine(self.forest.all_leaves())
+                    self.forest.refine(np.column_stack(
+                        self.forest._leaf_arrays_only()))
                 mesh, self._elem_of, self._nc_faces = \
                     self.forest.build_mesh()
             else:
@@ -688,18 +689,20 @@ class GDNavierStokesSolver:
             refine_fraction=ma.fraction_refinement,
             coarsen_fraction=ma.fraction_coarsening)
 
-        order = self.forest.all_leaves()
-        E = len(order)
+        b_arr, lvl_arr, idx_arr = self.forest._leaf_arrays_only()
+        E = len(b_arr)
         d = self.dim
-        ref_idx = [e for e in np.where(refine_mask)[0]
-                   if order[e][1][0] < ma.max_refinement_level]
+        ref_idx = np.where(refine_mask
+                           & (lvl_arr < ma.max_refinement_level))[0]
         budget = (ma.max_number_elements - E) // (2 ** d - 1)
         if budget < len(ref_idx):
-            ref_idx = sorted(ref_idx,
-                             key=lambda e: -eta[e])[:max(0, budget)]
-        marked_ref = [order[e] for e in ref_idx]
-        marked_coa = [order[e] for e in np.where(coarsen_mask)[0]
-                      if order[e][1][0] > ma.min_refinement_level]
+            sel = np.argsort(-eta[ref_idx], kind="stable")
+            ref_idx = ref_idx[sel[:max(0, budget)]]
+        coa_idx = np.where(coarsen_mask
+                           & (lvl_arr > ma.min_refinement_level))[0]
+        rows = np.column_stack([b_arr, lvl_arr, idx_arr])
+        marked_ref = rows[ref_idx]
+        marked_coa = rows[coa_idx]
 
         old_sv, old_sp = op.space_v, op.space_p
         old_elem_of = self._elem_of
