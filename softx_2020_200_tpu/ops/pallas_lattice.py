@@ -117,6 +117,16 @@ def _build_kernel(dim, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
     inv_h2 = 1.0 / h2
     visc_term = 9.0 * (4.0 * nu) ** 2 * inv_h2 * inv_h2
 
+    # Mosaic requires a 32-bit matmul accumulator and rejects HIGHEST
+    # precision for bf16 operands: with bf16 refs the dots stream bf16
+    # operands into the MXU but accumulate (and run the pointwise
+    # physics) in f32; only the final store rounds back to bf16.
+    acc_dtype = compute_dtype
+    if compute_dtype == jnp.bfloat16:
+        acc_dtype = jnp.float32
+        if dot_precision == lax.Precision.HIGHEST:
+            dot_precision = lax.Precision.DEFAULT
+
     if dot_precision == "bf16x3":
         # 3-pass bf16 split product (a_hi b_hi + a_hi b_lo + a_lo b_hi):
         # ~1.5e-6 relative accuracy at half the MXU passes of Mosaic's
@@ -134,13 +144,15 @@ def _build_kernel(dim, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
                 # explicit DEFAULT: the package-global 'highest' matmul
                 # precision is invalid for bf16 operands in Mosaic
                 return jnp.dot(x, y,
-                               preferred_element_type=compute_dtype,
+                               preferred_element_type=acc_dtype,
                                precision=lax.Precision.DEFAULT)
 
             return d(ahi, bhi) + (d(ahi, blo) + d(alo, bhi))
     else:
         def dot(a, b):
-            return jnp.dot(a, b, preferred_element_type=compute_dtype,
+            return jnp.dot(a.astype(compute_dtype),
+                           b.astype(compute_dtype),
+                           preferred_element_type=acc_dtype,
                            precision=dot_precision)
 
     def kernel(alpha0_ref, sdt_ref, T_ref, P_ref, *refs):
@@ -149,8 +161,8 @@ def _build_kernel(dim, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
         else:
             ue_ref, up_ref, fq_ref, out_ref = refs
 
-        alpha0 = alpha0_ref[0, 0].astype(compute_dtype)
-        sdt = sdt_ref[0, 0].astype(compute_dtype)
+        alpha0 = alpha0_ref[0, 0].astype(acc_dtype)
+        sdt = sdt_ref[0, 0].astype(acc_dtype)
         T_all = T_ref[...]
         T_proj = P_ref[...]
 
@@ -237,11 +249,13 @@ def _build_kernel(dim, nn, nq, nu, supg, pspg, gls_adjoint, lsic,
             stack = jnp.concatenate(
                 [a_v[i]] + a_g[i]
                 + [a_lap[i] if a_lap is not None else zero], axis=0)
-            out_ref[i * nn:(i + 1) * nn, :] = dot(T_proj, stack)
+            out_ref[i * nn:(i + 1) * nn, :] = dot(
+                T_proj, stack).astype(compute_dtype)
         pstack = jnp.concatenate(
             [a_p] + (a_pg if a_pg is not None
                      else [zero for _ in range(d)]), axis=0)
-        out_ref[d * nn:(d + 1) * nn, :] = dot(T_proj[:, :Mnl], pstack)
+        out_ref[d * nn:(d + 1) * nn, :] = dot(
+            T_proj[:, :Mnl], pstack).astype(compute_dtype)
 
     return kernel
 

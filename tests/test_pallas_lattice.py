@@ -108,6 +108,38 @@ def test_lattice_node_blocks_match_pallas_gls():
     assert float(jnp.abs(br - bo).max()) / scale < 1e-12
 
 
+def test_lattice_all_bf16_build():
+    """All-bf16 operand build (the roofline's lever-2 measurement):
+    refs and T-tables in bf16, f32 MXU accumulate inside the kernel.
+    Mosaic requires a 32-bit matmul acc, so the kernel must request
+    preferred_element_type=f32 and DEFAULT precision for bf16 dots —
+    this build previously failed to lower ('Expected matmul acc to be
+    32-bit').  Parity vs f32 at bf16 operand rounding."""
+    dim, degree, n = 2, 1, 4
+    space, op16, u, v, prev, fq = _setup(dim, degree, n,
+                                         dtype=jnp.bfloat16)
+    op32 = GLSOperator(space, nu=0.1, dtype=jnp.float32)
+    op32.enable_pallas(interpret=True, structured=True)
+    C16, C32 = op16.consts(), op32.consts()
+    u32, v32 = u.astype(jnp.float32), v.astype(jnp.float32)
+    prev32, fq32 = prev.astype(jnp.float32), fq.astype(jnp.float32)
+
+    r16 = op16.residual_free(u, prev, fq, 1.0, 2.0, C=C16)
+    r32 = op32.residual_free(u32, prev32, fq32, 1.0, 2.0, C=C32)
+    scale = float(jnp.abs(r32).max())
+    rel = float(jnp.abs(r16.astype(jnp.float32) - r32).max()) / scale
+    assert rel < 3e-2, rel
+
+    f16 = lambda w: op16.residual_free(w, prev, fq, 1.0, 2.0, C=C16)
+    f32f = lambda w: op32.residual_free(w, prev32, fq32, 1.0, 2.0,
+                                        C=C32)
+    d16 = jax.jvp(f16, (u,), (v,))[1]
+    d32 = jax.jvp(f32f, (u32,), (v32,))[1]
+    scale = float(jnp.abs(d32).max())
+    rel = float(jnp.abs(d16.astype(jnp.float32) - d32).max()) / scale
+    assert rel < 3e-2, rel
+
+
 @pytest.mark.slow
 def test_lattice_bf16_state_tangent():
     """bf16 Jacobian-state: primal bitwise-identical, tangent within
