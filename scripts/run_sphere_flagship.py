@@ -88,6 +88,7 @@ u_g = np.asarray(s.initial_condition())
 # at the last completed adaptation.
 CKPT = os.environ.get("SPH_CKPT", "/tmp/sphere_flagship_state.npz")
 start_cycle = 0
+start_solved = False
 if os.environ.get("SPH_RESUME") == "1" and os.path.exists(CKPT):
     data = np.load(CKPT)
     leaves = [set() for _ in range(s.forest.base.n_cells)]
@@ -99,37 +100,46 @@ if os.environ.get("SPH_RESUME") == "1" and os.path.exists(CKPT):
     s.setup(mesh=mesh, nc_faces=ncf)
     u_g = np.asarray(data["u"])
     start_cycle = int(data["cycle"])
-    print(f"resumed at cycle {start_cycle}: {s.space.n_elements} cells",
-          flush=True)
+    start_solved = "solved" in data.files and bool(data["solved"])
+    print(f"resumed at cycle {start_cycle}: {s.space.n_elements} cells"
+          f"{' (solved)' if start_solved else ''}", flush=True)
 
 
-def _save_state(cycle, u_arr):
+def _save_state(cycle, u_arr, solved=False):
     rows_ = []
     for b, leafset in enumerate(s.forest.leaves):
         for leaf in sorted(leafset):
             rows_.append((b,) + leaf)
-    np.savez(CKPT + ".tmp", cycle=cycle, u=u_arr,
+    np.savez(CKPT + ".tmp", cycle=cycle, u=u_arr, solved=solved,
              forest_leaves=np.asarray(rows_, np.int64))
     os.replace(CKPT + ".tmp.npz", CKPT)
 
 
 for cycle in range(start_cycle, CYCLES + 1):
-    t1 = time.time()
-    sh = ShardedGLSSolver.from_solver(s, devices=DEVICES)
-    t_shard = time.time() - t1
-    t1 = time.time()
-    for attempt in range(3):
-        try:
-            u_g, hist, iters, lin = sh.solve(u_g)
-            break
-        except Exception as e:      # relay flake: retry, rebuild wire
-            print(f"solve attempt {attempt} failed: {e!r}; "
-                  "retrying in 60s", flush=True)
-            time.sleep(60)
-            sh = ShardedGLSSolver.from_solver(s, devices=DEVICES)
+    if cycle == start_cycle and start_solved:
+        # the checkpoint already holds this cycle's CONVERGED state
+        # (saved right after the solve): skip straight to adaptation
+        t_shard, t_solve = 0.0, 0.0
+        hist, iters, lin = np.asarray([]), 0, 0
     else:
-        raise SystemExit("solve failed 3x")
-    t_solve = time.time() - t1
+        t1 = time.time()
+        sh = ShardedGLSSolver.from_solver(s, devices=DEVICES)
+        t_shard = time.time() - t1
+        t1 = time.time()
+        for attempt in range(3):
+            try:
+                u_g, hist, iters, lin = sh.solve(u_g)
+                break
+            except Exception as e:  # relay flake: retry, rebuild wire
+                print(f"solve attempt {attempt} failed: {e!r}; "
+                      "retrying in 60s", flush=True)
+                time.sleep(60)
+                sh = ShardedGLSSolver.from_solver(s, devices=DEVICES)
+        else:
+            raise SystemExit("solve failed 3x")
+        t_solve = time.time() - t1
+        # converged state survives relay crashes of LATER cycles
+        _save_state(cycle, np.asarray(u_g), solved=True)
     u = s.bh.constrain(np.asarray(u_g), 0.0)
     f = np.asarray(post.forces_on_boundary(
         s.op, u, s.space.boundary_faces[3]))
