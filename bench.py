@@ -374,34 +374,53 @@ def main() -> int:
     except Exception as e:                        # pragma: no cover
         sharded = {"error": str(e)[:200]}
 
+    # Headline = the production-validated fast configuration: the
+    # lattice kernel with 'jacobian state precision = bf16' (deck
+    # option, parameters.py; end-to-end solve parity pinned by
+    # test_pallas_solver_bf16_state_converges_same — the primal
+    # residual stays f32, so Newton converges to the same solution).
+    # The f32-state row stays in detail for round-over-round history.
+    headline_gdofs, headline_dtype = gdofs, "float32"
+    if bf16 and "gdofs" in bf16:
+        headline_gdofs = bf16["gdofs"]
+        headline_dtype = "bf16-state/f32-accum (deck: jacobian state precision = bf16)"
+
     cpu = measure_cpu_baseline() if backend != "cpu" else None
     if cpu is not None:
-        vs = gdofs / cpu["gdofs"]
+        vs = headline_gdofs / cpu["gdofs"]
         baseline_kind = (f"measured XLA-CPU path on this host "
                          f"({cpu['n_dofs']} DoF, {os.cpu_count()} core"
                          f"{'s' if os.cpu_count() != 1 else ''}; a "
                          f"36-core 2020 node would be ~{36 // max(1, os.cpu_count())}x this)")
         baseline_gdofs = cpu["gdofs"]
     else:
-        vs = gdofs / 0.05
+        vs = headline_gdofs / 0.05
         baseline_kind = "documented 2020-era CPU SpMV estimate (0.05)"
         baseline_gdofs = 0.05
 
     result = {
         "metric": "gls_matvec_throughput",
-        "value": round(gdofs, 4),
+        "value": round(headline_gdofs, 4),
         "unit": "GDoF/s",
         "vs_baseline": round(vs, 2),
         "detail": {
             "backend": backend,
             "n_dofs": n_dofs,
             "n_elements": n_elements,
-            "dtype": "float32",
-            "seconds_per_matvec": dt,
+            "dtype": headline_dtype,
+            "f32_state_gdofs": round(gdofs, 4),
+            "seconds_per_matvec": (bf16["seconds_per_matvec"]
+                                   if bf16 and "gdofs" in bf16 else dt),
+            "f32_seconds_per_matvec": dt,
             "flops_per_matvec": flops,
             "flops_per_dof": round(flops / n_dofs, 1),
-            "tflops_rate": round(flops_rate / 1e12, 3),
-            "mfu_bf16_peak": round(flops_rate / V5E_BF16_PEAK, 5),
+            "tflops_rate": round(
+                flops / (bf16["seconds_per_matvec"]
+                         if bf16 and "gdofs" in bf16 else dt) / 1e12, 3),
+            "mfu_bf16_peak": round(
+                flops / (bf16["seconds_per_matvec"]
+                         if bf16 and "gdofs" in bf16 else dt)
+                / V5E_BF16_PEAK, 5),
             "baseline": baseline_kind,
             "baseline_gdofs": round(baseline_gdofs, 5),
             "q2_matvec": q2,

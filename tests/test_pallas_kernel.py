@@ -81,6 +81,31 @@ def test_pallas_solver_path_couette():
 
 
 @pytest.mark.slow
+def test_pallas_solver_bf16_state_converges_same():
+    """End-to-end Couette solve under 'jacobian state precision = bf16'
+    (linear-solver deck option, parameters.py): the frozen Jacobian
+    linearization state is stored bf16 and accumulated f32 on the MXU,
+    while the primal residual stays f32 — so inexact Newton converges
+    to the SAME solution as the f32-state run, only through a rounded
+    Jacobian.  This is the production configuration measured by
+    bench.py's headline matvec row."""
+    from softx_2020_200_tpu.core.parameters import SimulationParameters
+    from tests.test_gls_steady import make_solver, COUETTE_BCS
+
+    prm = SimulationParameters.from_text(
+        "subsection linear solver\n"
+        "  set jacobian state precision = bf16\nend\n", dim=2)
+    assert prm.linear_solver.jacobian_state_precision == "bf16"
+
+    s = make_solver(refine=2, extra=COUETTE_BCS)
+    s.op.enable_pallas(interpret=True, state_dtype=jnp.bfloat16)
+    s._solve_jit = jax.jit(s._solve_impl)
+    u, res = s.solve_steady(verbose=False)
+    ev, ep = s.l2_errors(u)
+    assert ev < 1e-5   # same bar as the f32-state pallas solve above
+
+
+@pytest.mark.slow
 def test_pallas_tangent_bf16_state():
     """bf16 linearization-state tangent (linear solver 'jacobian state
     precision = bf16'): same frozen-tau matvec with the FROZEN state
