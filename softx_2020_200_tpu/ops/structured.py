@@ -115,17 +115,38 @@ class StructuredLayout:
 
         Row order matches the Pallas kernel: row = n * c + comp with n in
         axis0-fastest lexicographic order.
+
+        For degree >= 2 the nn stride-k window reads are replaced by a
+        RESIDUE DECOMPOSITION: node index i = k*q + r along each axis,
+        so pre-slicing the k^d residue subgrids (one strided pass) turns
+        every window into a CONTIGUOUS slice — stride-k reads waste
+        (k-1)/k of each 8x128 tile load, and at Q2 there are 27 of them
+        per gather.
         """
+        from itertools import product
         c = u.shape[-1]
         g = self._extend(u.reshape(*self.m, c))
+        k = self.degree
         rows = []
+        subs = None
+        if k >= 2:
+            subs = {
+                r: g[tuple(slice(r[a], None, k) for a in range(self.dim))]
+                for r in product(range(k), repeat=self.dim)}
         for n in range(self.nn):
             offs = []
             rem = n
             for a in range(self.dim):
                 offs.append(rem % self.n1d)
                 rem //= self.n1d
-            win = self._window(g, offs).reshape(self.E, c)
+            if subs is None:
+                win = self._window(g, offs).reshape(self.E, c)
+            else:
+                r = tuple(o % k for o in offs)
+                b = tuple(o // k for o in offs)
+                win = subs[r][tuple(
+                    slice(b[a], b[a] + self.ne[a])
+                    for a in range(self.dim))].reshape(self.E, c)
             for i in range(c):
                 rows.append(win[:, i])
         return rows
@@ -138,26 +159,69 @@ class StructuredLayout:
         chain was the single most expensive op in the matvec (~2.5 ms at
         1.1M DoF; the pad-sum runs in ~1.1 ms and XLA fuses the adds).
         """
+        from itertools import product
         from jax import lax
         k = self.degree
         ext_shape = tuple(k * n + 1 if p else m
                           for n, m, p in zip(self.ne, self.m,
                                              self.periodic))
-        R = None
         zero = jnp.zeros((), rows[0].dtype)
-        for n in range(self.nn):
-            offs = []
-            rem = n
-            for a in range(self.dim):
-                offs.append(rem % self.n1d)
-                rem //= self.n1d
-            blk = jnp.stack([rows[n * c + i] for i in range(c)],
-                            axis=-1).reshape(*self.ne, c)
-            cfg = [(offs[a],
-                    ext_shape[a] - offs[a] - (k * (self.ne[a] - 1) + 1),
-                    k - 1) for a in range(self.dim)] + [(0, 0, 0)]
-            padded = lax.pad(blk, zero, cfg)
-            R = padded if R is None else R + padded
+        if k >= 2:
+            # Residue decomposition (see gather_rows_list): ext index
+            # i = k*q + r.  The interior-dilated pads write every k-th
+            # lane of the full ext grid — nn near-empty full-grid
+            # passes (27 at Q2).  Instead accumulate each residue class
+            # r on its COMPACT [~ne]^d subgrid with plain pads, then
+            # interleave all k^d classes with one transpose+reshape.
+            acc = {r: None for r in product(range(k), repeat=self.dim)}
+            for n in range(self.nn):
+                offs = []
+                rem = n
+                for a in range(self.dim):
+                    offs.append(rem % self.n1d)
+                    rem //= self.n1d
+                r = tuple(o % k for o in offs)
+                b = tuple(o // k for o in offs)     # 1 only when o == k
+                blk = jnp.stack([rows[n * c + i] for i in range(c)],
+                                axis=-1).reshape(*self.ne, c)
+                cfg = [(b[a],
+                        (1 if r[a] == 0 else 0) - b[a],
+                        0) for a in range(self.dim)] + [(0, 0, 0)]
+                padded = lax.pad(blk, zero, cfg)
+                acc[r] = padded if acc[r] is None else acc[r] + padded
+            # interleave: pad every class to ne+1 per axis, stack as
+            # [r0..r_{d-1}, q0..q_{d-1}, c], transpose to interleaved
+            # (q_a, r_a) pairs, reshape, crop to the ext grid
+            Lmax = tuple(n + 1 for n in self.ne)
+            parts = []
+            for r in product(range(k), repeat=self.dim):
+                A = acc[r]
+                pcfg = [(0, Lmax[a] - A.shape[a], 0)
+                        for a in range(self.dim)] + [(0, 0, 0)]
+                parts.append(lax.pad(A, zero, pcfg))
+            d = self.dim
+            P = jnp.stack(parts, 0).reshape((k,) * d + Lmax + (c,))
+            order = []
+            for a in range(d):
+                order += [d + a, a]                  # (q_a, r_a) pairs
+            P = jnp.transpose(P, order + [2 * d])
+            R = P.reshape(tuple(Lmax[a] * k for a in range(d)) + (c,))
+            R = R[tuple(slice(0, ext_shape[a]) for a in range(d))]
+        else:
+            R = None
+            for n in range(self.nn):
+                offs = []
+                rem = n
+                for a in range(self.dim):
+                    offs.append(rem % self.n1d)
+                    rem //= self.n1d
+                blk = jnp.stack([rows[n * c + i] for i in range(c)],
+                                axis=-1).reshape(*self.ne, c)
+                cfg = [(offs[a],
+                        ext_shape[a] - offs[a] - (k * (self.ne[a] - 1) + 1),
+                        k - 1) for a in range(self.dim)] + [(0, 0, 0)]
+                padded = lax.pad(blk, zero, cfg)
+                R = padded if R is None else R + padded
         # fold periodic halos back: the halo is exactly (ext - m) = 1 layer
         # (extended index k*ne == wrapped node 0); adding it onto slice(0, k)
         # would broadcast the single layer onto k layers for degree >= 2.
