@@ -19,8 +19,9 @@ from softx_2020_200_tpu.ops.operators import gather_elements
 
 @pytest.mark.parametrize("dim,refine", [
     (2, 2),                                            # fast smoke
-    pytest.param(2, 3, marks=pytest.mark.slow),
-    pytest.param(3, 2, marks=pytest.mark.slow),
+    # refine 1 exercises every 3D term; interpret cost scales 8x per
+    # refine and parity is mesh-size-independent (slow tier diet)
+    pytest.param(3, 1, marks=pytest.mark.slow),
 ])
 def test_pallas_matches_xla(dim, refine):
     mesh = hyper_cube(0.0, 1.0, colorize=True, dim=dim).refine_uniform(refine)
@@ -112,7 +113,7 @@ def test_pallas_tangent_bf16_state():
     rows stored bf16 and cast to f32 in VMEM — a rounded-coefficient
     Jacobian.  Must track the f32 tangent to bf16 coefficient accuracy
     (~1e-2 relative) while the primal residual stays bitwise f32."""
-    dim, refine = 2, 3
+    dim, refine = 2, 2
     mesh = hyper_cube(0.0, 1.0, colorize=True, dim=dim).refine_uniform(refine)
     space = FESpace(mesh, 1)
     nu = 0.05

@@ -38,8 +38,8 @@ def _setup(dim, degree, n, dtype=jnp.float64, state_dtype=None):
 
 @pytest.mark.parametrize("dim,degree,n", [
     (2, 1, 4),
-    pytest.param(2, 2, 3, marks=pytest.mark.slow),
-    pytest.param(3, 1, 3, marks=pytest.mark.slow),
+    pytest.param(2, 2, 2, marks=pytest.mark.slow),
+    pytest.param(3, 1, 2, marks=pytest.mark.slow),
     pytest.param(3, 2, 2, marks=pytest.mark.slow),
 ])
 def test_lattice_matches_xla(dim, degree, n):

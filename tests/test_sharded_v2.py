@@ -115,7 +115,11 @@ def _single_step(s, dt=0.1):
 def test_sharded_mms_source_parity(kernel):
     """1-vs-8 parity of one BDF1 step WITH the MMS forcing active —
     regression for the r1 fq-zeroing (parallel/sharded.py:261)."""
-    s = make_mms_solver()
+    # interpret-mode pallas costs ~10x per matvec: pin the same fq
+    # plumbing (incl. the sl_perm element permutation) on the Q1
+    # lattice kernel instead of Q2 rows — 271 s -> ~40 s
+    order = 1 if kernel == "pallas_interpret" else 2
+    s = make_mms_solver(order=order)
     dt = 0.1
     u0, u_ref, res = _single_step(s, dt)
 
@@ -131,6 +135,8 @@ def test_sharded_mms_source_parity(kernel):
     tol = 1e-8 if kernel == "xla" else 1e-6
     err = np.abs(u_par - np.asarray(u_ref)).max()
     assert err < tol, f"sharded source parity ({kernel}): {err}"
+    if kernel != "xla":
+        return   # the source-activity check below is kernel-independent
     # the solution must differ from the no-source answer (source active)
     sh_nosrc = ShardedGLSSolver(
         s.space, nu=s.op.nu, devices=jax.devices()[:8], stab=s.op.stab,
